@@ -1,0 +1,106 @@
+"""Decode orchestrator: .ako blob -> image.
+
+Mirror of the encode split (reference: library/decode.c:38-250): host
+parses the container and entropy-decodes per-tile blocks into int16
+coefficient streams; the device stage (unlift + inverse color +
+interleave) runs as one jitted program per tile shape, batched over
+same-shaped tiles. Decoded pixels are bit-identical to the reference
+decoder's output.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ako_tpu.core import container, geometry
+from ako_tpu.core.settings import (
+    AkoError,
+    Color,
+    Compression,
+    Settings,
+    Status,
+    Wavelet,
+    Wrap,
+)
+from ako_tpu.ops.colorspace import to_interleaved_u8
+from ako_tpu.ops.lifting import inverse_tile
+
+
+@functools.lru_cache(maxsize=256)
+def _tile_decoder(
+    tile_w: int,
+    tile_h: int,
+    channels: int,
+    wavelet: Wavelet,
+    wrap: Wrap,
+    color: Color,
+):
+    """Jitted device program: (T, coeff_count) int16 -> (T, tile_h,
+    tile_w, channels) u8 tiles."""
+    schedule = geometry.lift_schedule(tile_w, tile_h)
+
+    def fn(coeffs):
+        if wavelet == Wavelet.NONE:
+            planes = coeffs.reshape(coeffs.shape[:-1] + (channels, tile_h, tile_w))
+        else:
+            planes = inverse_tile(coeffs, schedule, wavelet, wrap, channels)
+        return to_interleaved_u8(planes, color, channels)
+
+    return jax.jit(fn)
+
+
+def decode(blob: bytes) -> Tuple[np.ndarray, Settings, int]:
+    """Decode an .ako blob. Returns (image uint8 (h, w, channels),
+    settings-from-header, channels); raises AkoError on failure."""
+    if blob is None:
+        raise AkoError(Status.INVALID_INPUT)
+    view = memoryview(blob)
+    channels, image_w, image_h, s = container.head_read(view)
+    cursor = container.HEAD_SIZE
+
+    grid = geometry.tile_grid(image_w, image_h, s.tiles_dimension)
+
+    # Host: entropy-decode every tile block into its coefficient stream
+    streams: list[np.ndarray] = []
+    for t in grid:
+        if s.wavelet != Wavelet.NONE:
+            tds = geometry.tile_data_size(t.w, t.h) * channels
+            spacing = geometry.planes_spacing(t.w, t.h)
+        else:
+            tds = t.w * t.h * channels * 2
+            spacing = 0
+
+        if s.compression != Compression.NONE:
+            from ako_tpu.runtime.kagari import decompress_block
+
+            res = decompress_block(view[cursor:], tds, tds + spacing)
+            if res is None:
+                raise AkoError(Status.BROKEN_INPUT)
+            values, consumed = res
+            cursor += consumed
+        else:
+            if cursor + tds > len(blob):
+                raise AkoError(Status.BROKEN_INPUT)
+            values = np.frombuffer(view[cursor : cursor + tds], dtype=np.int16).copy()
+            cursor += tds
+        streams.append(values)
+
+    # Device: batched unlift + format per tile shape
+    image = np.empty((image_h, image_w, channels), dtype=np.uint8)
+    by_shape: dict[tuple[int, int], list[geometry.TilePlacement]] = {}
+    for t in grid:
+        by_shape.setdefault((t.w, t.h), []).append(t)
+
+    for (tw, th), tiles in by_shape.items():
+        fn = _tile_decoder(tw, th, channels, s.wavelet, s.wrap, s.color)
+        batch = np.stack([streams[t.index] for t in tiles], axis=0)
+        pixels = np.asarray(fn(jnp.asarray(batch)))
+        for i, t in enumerate(tiles):
+            image[t.y : t.y + th, t.x : t.x + tw, :] = pixels[i]
+
+    return image, s, channels

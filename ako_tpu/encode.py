@@ -1,0 +1,144 @@
+"""Encode orchestrator: image -> .ako blob.
+
+Pipeline split (reference: library/encode.c:38-232, rebuilt for TPU):
+the per-tile compute (format + lift + fused quantization) runs on
+device as one jitted program per distinct tile shape, batched over all
+same-shaped tiles; the entropy stage (Kagari) and container assembly
+run on host over the serialized coefficient streams. Blob bytes are
+identical to the reference encoder's for every settings combination.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ako_tpu.core import container, geometry
+from ako_tpu.core.settings import (
+    AkoError,
+    Color,
+    Compression,
+    Settings,
+    Status,
+    Wavelet,
+    Wrap,
+    default_settings,
+)
+from ako_tpu.ops.colorspace import to_planar_yuv
+from ako_tpu.ops.lifting import forward_tile
+from ako_tpu.ops.quantization import level_qg
+from ako_tpu.runtime.kagari import compress_block
+
+
+def checked_settings(s: Optional[Settings]) -> Settings:
+    """YCoCg auto-switches to the x2-premultiplied variant when lossy
+    (encode.c:60-64)."""
+    s = default_settings() if s is None else s
+    if s.color == Color.YCOCG and (s.quantization > 0 or s.gate > 0):
+        s = s.replace(color=Color.YCOCG_Q)
+    elif s.color == Color.YCOCG_Q and (s.quantization <= 0 and s.gate <= 0):
+        s = s.replace(color=Color.YCOCG)
+    return s
+
+
+@functools.lru_cache(maxsize=256)
+def _tile_encoder(
+    tile_w: int,
+    tile_h: int,
+    channels: int,
+    wavelet: Wavelet,
+    wrap: Wrap,
+    color: Color,
+    discard_non_visible: bool,
+    quantization: int,
+    gate: int,
+    chroma_loss: int,
+):
+    """Jitted device program: (T, tile_h, tile_w, channels) u8 tiles ->
+    (T, coeff_count) int16 serialized streams."""
+    schedule = geometry.lift_schedule(tile_w, tile_h)
+    qg = level_qg(schedule, channels, quantization, gate, chroma_loss)
+
+    def fn(tiles_u8):
+        planes = to_planar_yuv(tiles_u8, color, discard_non_visible)
+        if wavelet == Wavelet.NONE:
+            return planes.reshape(planes.shape[:-3] + (-1,))
+        return forward_tile(planes, schedule, wavelet, wrap, qg)
+
+    return jax.jit(fn)
+
+
+def encode_tiles_device(image: np.ndarray, s: Settings):
+    """Run the device stage for every tile; returns a list of int16
+    numpy coefficient streams in tile (row-major) order."""
+    image_h, image_w, channels = image.shape
+    grid = geometry.tile_grid(image_w, image_h, s.tiles_dimension)
+
+    by_shape: dict[tuple[int, int], list[geometry.TilePlacement]] = {}
+    for t in grid:
+        by_shape.setdefault((t.w, t.h), []).append(t)
+
+    out: list[Optional[np.ndarray]] = [None] * len(grid)
+    for (tw, th), tiles in by_shape.items():
+        fn = _tile_encoder(
+            tw,
+            th,
+            channels,
+            s.wavelet,
+            s.wrap,
+            s.color,
+            bool(s.discard_non_visible),
+            s.quantization,
+            s.gate,
+            s.chroma_loss,
+        )
+        batch = np.stack(
+            [image[t.y : t.y + th, t.x : t.x + tw, :] for t in tiles], axis=0
+        )
+        coeffs = np.asarray(fn(jnp.asarray(batch)))
+        for i, t in enumerate(tiles):
+            out[t.index] = coeffs[i]
+    return out
+
+
+def encode(
+    image: np.ndarray,
+    settings: Optional[Settings] = None,
+) -> bytes:
+    """Encode an interleaved uint8 image of shape (h, w, channels) or
+    (h, w). Returns the .ako blob; raises AkoError on failure."""
+    if image is None:
+        raise AkoError(Status.INVALID_INPUT)
+    image = np.asarray(image)
+    if image.ndim == 2:
+        image = image[:, :, None]
+    if image.ndim != 3 or image.dtype != np.uint8:
+        raise AkoError(Status.INVALID_INPUT, "expected uint8 (h, w, ch)")
+
+    s = checked_settings(settings)
+    image_h, image_w, channels = image.shape
+
+    head = container.head_write(channels, image_w, image_h, s)
+
+    streams = encode_tiles_device(image, s)
+
+    blocks: list[bytes] = [head]
+    grid = geometry.tile_grid(image_w, image_h, s.tiles_dimension)
+    for t, values in zip(grid, streams):
+        if s.wavelet != Wavelet.NONE:
+            tds = geometry.tile_data_size(t.w, t.h) * channels
+        else:
+            tds = t.w * t.h * channels * 2
+        if s.compression != Compression.NONE:
+            block = compress_block(values, tds)
+            if block is None:
+                raise AkoError(Status.ERROR, "incompressible tile")
+            blocks.append(block)
+        else:
+            blocks.append(values.tobytes())
+
+    return b"".join(blocks)

@@ -1,0 +1,82 @@
+"""Build-and-load for the native runtime library.
+
+Compiles ako_tpu/runtime/native/akort.c into _akort.so next to the
+source on first import (cached by source mtime), then exposes a typed
+ctypes handle. No pip/apt dependencies: plain cc + libm.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "native", "akort.c")
+_LIB = os.path.join(_HERE, "native", "_akort.so")
+
+_lock = threading.Lock()
+_lib = None
+
+
+def _compile() -> None:
+    cc = os.environ.get("CC", "cc")
+    cmd = [
+        cc,
+        "-O2",
+        "-fPIC",
+        "-shared",
+        "-fvisibility=hidden",
+        _SRC,
+        "-lm",
+        "-o",
+        _LIB + ".tmp",
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(_LIB + ".tmp", _LIB)
+
+
+def load() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if (
+            not os.path.exists(_LIB)
+            or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+        ):
+            _compile()
+        lib = ctypes.CDLL(_LIB)
+
+        lib.akort_quantization.restype = ctypes.c_int32
+        lib.akort_quantization.argtypes = [
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_uint64,
+            ctypes.c_uint64,
+            ctypes.c_uint64,
+            ctypes.c_uint64,
+        ]
+        lib.akort_gate.restype = ctypes.c_int32
+        lib.akort_gate.argtypes = lib.akort_quantization.argtypes
+
+        lib.akort_kagari_encode.restype = ctypes.c_size_t
+        lib.akort_kagari_encode.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+        ]
+        lib.akort_kagari_decode.restype = ctypes.c_size_t
+        lib.akort_kagari_decode.argtypes = [
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+        ]
+        _lib = lib
+        return _lib

@@ -1,0 +1,20 @@
+"""Test config: run JAX on a virtual 8-device CPU mesh so sharding
+tests work without TPU hardware, and keep runs deterministic."""
+
+import os
+
+# Must be set before jax import (any test importing ako_tpu pulls jax in)
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
