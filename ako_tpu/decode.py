@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ako_tpu.core import container, geometry
+from ako_tpu.core.events import Event, EventsCallback
 from ako_tpu.core.settings import (
     AkoError,
     Color,
@@ -54,7 +55,16 @@ def _tile_decoder(
     return jax.jit(fn)
 
 
-def decode(blob: bytes) -> Tuple[np.ndarray, Settings, int]:
+def _fire(events, tile_no, total, event, user):
+    if events is not None:
+        events(tile_no, total, event, user)
+
+
+def decode(
+    blob: bytes,
+    events: Optional[EventsCallback] = None,
+    events_user=None,
+) -> Tuple[np.ndarray, Settings, int]:
     """Decode an .ako blob. Returns (image uint8 (h, w, channels),
     settings-from-header, channels); raises AkoError on failure."""
     if blob is None:
@@ -64,6 +74,7 @@ def decode(blob: bytes) -> Tuple[np.ndarray, Settings, int]:
     cursor = container.HEAD_SIZE
 
     grid = geometry.tile_grid(image_w, image_h, s.tiles_dimension)
+    total = len(grid)
 
     # Host: entropy-decode every tile block into its coefficient stream
     streams: list[np.ndarray] = []
@@ -75,6 +86,7 @@ def decode(blob: bytes) -> Tuple[np.ndarray, Settings, int]:
             tds = t.w * t.h * channels * 2
             spacing = 0
 
+        _fire(events, t.index, total, Event.COMPRESSION_START, events_user)
         if s.compression != Compression.NONE:
             from ako_tpu.runtime.kagari import decompress_block
 
@@ -88,6 +100,7 @@ def decode(blob: bytes) -> Tuple[np.ndarray, Settings, int]:
                 raise AkoError(Status.BROKEN_INPUT)
             values = np.frombuffer(view[cursor : cursor + tds], dtype=np.int16).copy()
             cursor += tds
+        _fire(events, t.index, total, Event.COMPRESSION_END, events_user)
         streams.append(values)
 
     # Device: batched unlift + format per tile shape
@@ -98,9 +111,14 @@ def decode(blob: bytes) -> Tuple[np.ndarray, Settings, int]:
 
     for (tw, th), tiles in by_shape.items():
         fn = _tile_decoder(tw, th, channels, s.wavelet, s.wrap, s.color)
+        t0 = tiles[0].index
+        _fire(events, t0, total, Event.WAVELET_START, events_user)
         batch = np.stack([streams[t.index] for t in tiles], axis=0)
         pixels = np.asarray(fn(jnp.asarray(batch)))
+        _fire(events, t0, total, Event.WAVELET_END, events_user)
+        _fire(events, t0, total, Event.FORMAT_START, events_user)
         for i, t in enumerate(tiles):
             image[t.y : t.y + th, t.x : t.x + tw, :] = pixels[i]
+        _fire(events, t0, total, Event.FORMAT_END, events_user)
 
     return image, s, channels

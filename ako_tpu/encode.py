@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ako_tpu.core import container, geometry
+from ako_tpu.core.events import Event, EventsCallback
 from ako_tpu.core.settings import (
     AkoError,
     Color,
@@ -72,11 +73,22 @@ def _tile_encoder(
     return jax.jit(fn)
 
 
-def encode_tiles_device(image: np.ndarray, s: Settings):
+def _fire(events, tile_no, total, event, user):
+    if events is not None:
+        events(tile_no, total, event, user)
+
+
+def encode_tiles_device(
+    image: np.ndarray,
+    s: Settings,
+    events: Optional[EventsCallback] = None,
+    events_user=None,
+):
     """Run the device stage for every tile; returns a list of int16
     numpy coefficient streams in tile (row-major) order."""
     image_h, image_w, channels = image.shape
     grid = geometry.tile_grid(image_w, image_h, s.tiles_dimension)
+    total = len(grid)
 
     by_shape: dict[tuple[int, int], list[geometry.TilePlacement]] = {}
     for t in grid:
@@ -96,10 +108,16 @@ def encode_tiles_device(image: np.ndarray, s: Settings):
             s.gate,
             s.chroma_loss,
         )
+        t0 = tiles[0].index
+        _fire(events, t0, total, Event.FORMAT_START, events_user)
         batch = np.stack(
             [image[t.y : t.y + th, t.x : t.x + tw, :] for t in tiles], axis=0
         )
-        coeffs = np.asarray(fn(jnp.asarray(batch)))
+        batch_dev = jnp.asarray(batch)
+        _fire(events, t0, total, Event.FORMAT_END, events_user)
+        _fire(events, t0, total, Event.WAVELET_START, events_user)
+        coeffs = np.asarray(fn(batch_dev))
+        _fire(events, t0, total, Event.WAVELET_END, events_user)
         for i, t in enumerate(tiles):
             out[t.index] = coeffs[i]
     return out
@@ -108,9 +126,14 @@ def encode_tiles_device(image: np.ndarray, s: Settings):
 def encode(
     image: np.ndarray,
     settings: Optional[Settings] = None,
+    events: Optional[EventsCallback] = None,
+    events_user=None,
 ) -> bytes:
     """Encode an interleaved uint8 image of shape (h, w, channels) or
-    (h, w). Returns the .ako blob; raises AkoError on failure."""
+    (h, w). Returns the .ako blob; raises AkoError on failure.
+
+    `events` is the per-stage tracing hook (core.events.Event pairs,
+    reference library/ako.h:75-84)."""
     if image is None:
         raise AkoError(Status.INVALID_INPUT)
     image = np.asarray(image)
@@ -124,15 +147,17 @@ def encode(
 
     head = container.head_write(channels, image_w, image_h, s)
 
-    streams = encode_tiles_device(image, s)
+    streams = encode_tiles_device(image, s, events, events_user)
 
     blocks: list[bytes] = [head]
     grid = geometry.tile_grid(image_w, image_h, s.tiles_dimension)
+    total = len(grid)
     for t, values in zip(grid, streams):
         if s.wavelet != Wavelet.NONE:
             tds = geometry.tile_data_size(t.w, t.h) * channels
         else:
             tds = t.w * t.h * channels * 2
+        _fire(events, t.index, total, Event.COMPRESSION_START, events_user)
         if s.compression != Compression.NONE:
             block = compress_block(values, tds)
             if block is None:
@@ -140,5 +165,6 @@ def encode(
             blocks.append(block)
         else:
             blocks.append(values.tobytes())
+        _fire(events, t.index, total, Event.COMPRESSION_END, events_user)
 
     return b"".join(blocks)

@@ -28,7 +28,8 @@ def _quantize_gate(x, q, g):
     quadrant; q/g broadcastable int32 (library/lifting.c:154-168)."""
     x32 = i32(x)
     keep = (x32 < -g) | (x32 > g)
-    return i16(jnp.where(keep, divt(x32, jnp.maximum(q, 1)), 0))
+    qb = jnp.broadcast_to(jnp.maximum(q, 1), x32.shape)  # lax.div needs equal ranks
+    return i16(jnp.where(keep, divt(x32, qb), 0))
 
 
 def forward_tile(

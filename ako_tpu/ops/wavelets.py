@@ -22,11 +22,20 @@ second-to-last (sublanes) — no transposes anywhere.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 from ako_tpu.core.settings import Wavelet, Wrap
 from ako_tpu.ops.intmath import div2, div4, div16, div32, i16, i32
 
 # Axis conventions: the lifted axis is passed as -1 (H) or -2 (V).
+#
+# Every boundary-substituting shift optionally takes `axis_name`: when
+# set (inside shard_map, the lifted axis sharded over that mesh axis)
+# the edge values come from the neighboring shard via a cyclic
+# lax.ppermute — the TPU-native halo exchange over ICI — and the wrap
+# substitution applies only on the true global edge (first/last shard).
+# A cyclic permute hands shard 0 the *last* shard's edge, which is
+# exactly the REPEAT wrap value, so that mode needs no correction.
 
 
 def _sl(x, lo, hi, axis):
@@ -45,12 +54,45 @@ def _zeros_like_edge(x, axis, n=1):
     return jnp.zeros_like(_sl(x, 0, n, axis))
 
 
-def _shift_prev(x, axis, wrap, mirror_same_as_clamp=True):
+def _ppermute_to_next(x, axis_name):
+    """Cyclic shift: every shard receives its *previous* shard's x."""
+    n = lax.psum(1, axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    return lax.ppermute(x, axis_name, perm)
+
+
+def _ppermute_to_prev(x, axis_name):
+    """Cyclic shift: every shard receives its *next* shard's x."""
+    n = lax.psum(1, axis_name)
+    perm = [(i, (i - 1) % n) for i in range(n)]
+    return lax.ppermute(x, axis_name, perm)
+
+
+def _is_first(axis_name):
+    return lax.axis_index(axis_name) == 0
+
+
+def _is_last(axis_name):
+    return lax.axis_index(axis_name) == lax.psum(1, axis_name) - 1
+
+
+def _edge_select(on_edge, edge_val, halo_val):
+    return jnp.where(on_edge, edge_val, halo_val)
+
+
+def _shift_prev(x, axis, wrap, axis_name=None):
     """y[i] = x[i-1]; y[0] per wrap: CLAMP/MIRROR -> x[0], REPEAT -> x[-1],
     ZERO -> 0. (The reference uses the same first-tap substitution for
     CLAMP and MIRROR on +-1 neighbors.)"""
-    del mirror_same_as_clamp
-    if wrap == Wrap.REPEAT:
+    if axis_name is not None:
+        halo = _ppermute_to_next(_sl(x, -1, None, axis), axis_name)
+        if wrap == Wrap.REPEAT:
+            head = halo  # cyclic permute == global wrap-around
+        elif wrap == Wrap.ZERO:
+            head = _edge_select(_is_first(axis_name), _zeros_like_edge(x, axis), halo)
+        else:  # CLAMP, MIRROR
+            head = _edge_select(_is_first(axis_name), _sl(x, 0, 1, axis), halo)
+    elif wrap == Wrap.REPEAT:
         head = _sl(x, -1, None, axis)
     elif wrap == Wrap.ZERO:
         head = _zeros_like_edge(x, axis)
@@ -59,10 +101,18 @@ def _shift_prev(x, axis, wrap, mirror_same_as_clamp=True):
     return jnp.concatenate([head, _sl(x, 0, -1, axis)], axis=axis)
 
 
-def _shift_next(x, axis, wrap):
+def _shift_next(x, axis, wrap, axis_name=None):
     """y[i] = x[i+1]; y[-1] per wrap: CLAMP/MIRROR -> x[-1],
     REPEAT -> x[0], ZERO -> 0."""
-    if wrap == Wrap.REPEAT:
+    if axis_name is not None:
+        halo = _ppermute_to_prev(_sl(x, 0, 1, axis), axis_name)
+        if wrap == Wrap.REPEAT:
+            tail = halo
+        elif wrap == Wrap.ZERO:
+            tail = _edge_select(_is_last(axis_name), _zeros_like_edge(x, axis), halo)
+        else:
+            tail = _edge_select(_is_last(axis_name), _sl(x, -1, None, axis), halo)
+    elif wrap == Wrap.REPEAT:
         tail = _sl(x, 0, 1, axis)
     elif wrap == Wrap.ZERO:
         tail = _zeros_like_edge(x, axis)
@@ -71,11 +121,23 @@ def _shift_next(x, axis, wrap):
     return jnp.concatenate([_sl(x, 1, None, axis), tail], axis=axis)
 
 
-def _shift_prev2(x, axis, wrap):
+def _shift_prev2(x, axis, wrap, axis_name=None):
     """y[i] = x[i-2]; first two per the reference's second-tap rules:
     CLAMP -> x[0], x[0]; MIRROR -> x[1], x[2]; REPEAT -> x[-2], x[-1];
     ZERO -> 0 (wavelet-dd137.c first-values cases)."""
-    if wrap == Wrap.CLAMP:
+    if axis_name is not None:
+        halo = _ppermute_to_next(_sl(x, -2, None, axis), axis_name)
+        if wrap == Wrap.REPEAT:
+            head = halo
+        else:
+            if wrap == Wrap.CLAMP:
+                edge = jnp.concatenate([_sl(x, 0, 1, axis)] * 2, axis=axis)
+            elif wrap == Wrap.MIRROR:
+                edge = _sl(x, 1, 3, axis)
+            else:
+                edge = _zeros_like_edge(x, axis, 2)
+            head = _edge_select(_is_first(axis_name), edge, halo)
+    elif wrap == Wrap.CLAMP:
         head = jnp.concatenate([_sl(x, 0, 1, axis)] * 2, axis=axis)
     elif wrap == Wrap.MIRROR:
         head = _sl(x, 1, 3, axis)
@@ -86,11 +148,23 @@ def _shift_prev2(x, axis, wrap):
     return jnp.concatenate([head, _sl(x, 0, -2, axis)], axis=axis)
 
 
-def _shift_next2(x, axis, wrap):
+def _shift_next2(x, axis, wrap, axis_name=None):
     """y[i] = x[i+2]; last two per the reference's second-tap rules:
     CLAMP -> x[-1], x[-1]; MIRROR -> x[-3], x[-2]; REPEAT -> x[0], x[1];
     ZERO -> 0."""
-    if wrap == Wrap.CLAMP:
+    if axis_name is not None:
+        halo = _ppermute_to_prev(_sl(x, 0, 2, axis), axis_name)
+        if wrap == Wrap.REPEAT:
+            tail = halo
+        else:
+            if wrap == Wrap.CLAMP:
+                edge = jnp.concatenate([_sl(x, -1, None, axis)] * 2, axis=axis)
+            elif wrap == Wrap.MIRROR:
+                edge = _sl(x, -3, -1, axis)
+            else:
+                edge = _zeros_like_edge(x, axis, 2)
+            tail = _edge_select(_is_last(axis_name), edge, halo)
+    elif wrap == Wrap.CLAMP:
         tail = jnp.concatenate([_sl(x, -1, None, axis)] * 2, axis=axis)
     elif wrap == Wrap.MIRROR:
         tail = _sl(x, -3, -1, axis)
@@ -120,12 +194,16 @@ def _interleave(ev, od, axis):
 # Forward lifting
 
 
-def lift1d(wavelet: Wavelet, wrap: Wrap, x, fake_last: int, axis: int):
+def lift1d(wavelet: Wavelet, wrap: Wrap, x, fake_last: int, axis: int,
+           axis_name: str | None = None):
     """One forward lift along `axis`. x is int16 of even-or-odd length
     2t - fake_last; returns (lp, hp), each int16 of length t.
 
     A fake trailing odd sample equal to the last even is fabricated when
-    the source length is odd (library/lifting.c:46-47)."""
+    the source length is odd (library/lifting.c:46-47). With `axis_name`
+    the lifted axis is sharded over that mesh axis and edge taps ride a
+    ppermute halo exchange (fake_last must be 0 then)."""
+    assert not (axis_name and fake_last), "sharded lift requires even length"
     ev = i32(_stride2(x, 0, axis))
     od = i32(_stride2(x, 1, axis))
     if fake_last:
@@ -135,22 +213,22 @@ def lift1d(wavelet: Wavelet, wrap: Wrap, x, fake_last: int, axis: int):
         return i16(ev), i16(od - ev)
 
     if wavelet == Wavelet.CDF53:
-        ev_p1 = _shift_next(ev, axis, wrap)
+        ev_p1 = _shift_next(ev, axis, wrap, axis_name)
         hp = i16(od - div2(ev + ev_p1))
         hp32 = i32(hp)
-        hp_l1 = _shift_prev(hp32, axis, wrap)
+        hp_l1 = _shift_prev(hp32, axis, wrap, axis_name)
         lp = i16(ev + div4(hp_l1 + hp32))
         return lp, hp
 
     # DD 13/7
-    ev_l1 = _shift_prev(ev, axis, wrap)
-    ev_p1 = _shift_next(ev, axis, wrap)
-    ev_p2 = _shift_next2(ev, axis, wrap)
+    ev_l1 = _shift_prev(ev, axis, wrap, axis_name)
+    ev_p1 = _shift_next(ev, axis, wrap, axis_name)
+    ev_p2 = _shift_next2(ev, axis, wrap, axis_name)
     hp = i16(od + div16(ev_l1 + ev_p2 - 9 * (ev + ev_p1)))
     hp32 = i32(hp)
-    hp_l1 = _shift_prev(hp32, axis, wrap)
-    hp_p1 = _shift_next(hp32, axis, wrap)
-    hp_l2 = _shift_prev2(hp32, axis, wrap)
+    hp_l1 = _shift_prev(hp32, axis, wrap, axis_name)
+    hp_p1 = _shift_next(hp32, axis, wrap, axis_name)
+    hp_l2 = _shift_prev2(hp32, axis, wrap, axis_name)
     lp = i16(ev + div32(-hp_l2 - hp_p1 + 9 * (hp_l1 + hp32)))
     return lp, hp
 
@@ -181,7 +259,8 @@ def _restripe(x):
 # Inverse lifting
 
 
-def unlift1d_pair(wavelet: Wavelet, wrap: Wrap, lp, hp, axis: int):
+def unlift1d_pair(wavelet: Wavelet, wrap: Wrap, lp, hp, axis: int,
+                  axis_name: str | None = None):
     """Inverse lift along `axis`: returns (evens, odds), each the same
     length as lp/hp, int16. Interleaving/truncation is the caller's
     concern (the V pass keeps them separate, the H pass merges)."""
@@ -192,21 +271,21 @@ def unlift1d_pair(wavelet: Wavelet, wrap: Wrap, lp, hp, axis: int):
         return i16(lp32), i16(lp32 + hp32)
 
     if wavelet == Wavelet.CDF53:
-        hp_l1 = _shift_prev(hp32, axis, wrap)
+        hp_l1 = _shift_prev(hp32, axis, wrap, axis_name)
         ev = i16(lp32 - div4(hp_l1 + hp32))
         ev32 = i32(ev)
-        ev_p1 = _shift_next(ev32, axis, wrap)
+        ev_p1 = _shift_next(ev32, axis, wrap, axis_name)
         od = i16(hp32 + div2(ev32 + ev_p1))
         return ev, od
 
-    hp_l1 = _shift_prev(hp32, axis, wrap)
-    hp_p1 = _shift_next(hp32, axis, wrap)
-    hp_l2 = _shift_prev2(hp32, axis, wrap)
+    hp_l1 = _shift_prev(hp32, axis, wrap, axis_name)
+    hp_p1 = _shift_next(hp32, axis, wrap, axis_name)
+    hp_l2 = _shift_prev2(hp32, axis, wrap, axis_name)
     ev = i16(lp32 - div32(-hp_l2 - hp_p1 + 9 * (hp_l1 + hp32)))
     ev32 = i32(ev)
-    ev_l1 = _shift_prev(ev32, axis, wrap)
-    ev_p1 = _shift_next(ev32, axis, wrap)
-    ev_p2 = _shift_next2(ev32, axis, wrap)
+    ev_l1 = _shift_prev(ev32, axis, wrap, axis_name)
+    ev_p1 = _shift_next(ev32, axis, wrap, axis_name)
+    ev_p2 = _shift_next2(ev32, axis, wrap, axis_name)
     od = i16(hp32 - div16(ev_l1 + ev_p2 - 9 * (ev32 + ev_p1)))
     return ev, od
 

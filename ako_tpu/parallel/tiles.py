@@ -1,0 +1,166 @@
+"""Tile-data-parallelism: the independent-tile grid sharded over chips.
+
+Ako tiles are fully independent (own pyramid, own quantization heads,
+own entropy block — SURVEY.md §2.4), so the grid's natural TPU mapping
+is a leading batch dimension sharded over a 1-D "tiles" mesh axis.
+The per-tile compute (format + lift + fused quantization, and the
+inverse) contains no cross-tile ops, so GSPMD partitions it with zero
+communication; the only collective is the implicit gather when the
+serialized streams are fetched for host entropy coding (the bitstream
+gather of SURVEY.md §2.4.3).
+
+Replaces the reference's sequential tile loop (library/encode.c:115,
+library/decode.c:128) with one SPMD program per distinct tile shape.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ako_tpu.core import geometry
+from ako_tpu.core.settings import Color, Settings, Wavelet, Wrap
+from ako_tpu.ops.colorspace import to_interleaved_u8, to_planar_yuv
+from ako_tpu.ops.lifting import forward_tile, inverse_tile
+from ako_tpu.ops.quantization import level_qg
+
+
+def pad_batch(n: int, n_shards: int) -> int:
+    """Tiles are padded to a multiple of the mesh size; the pad tiles
+    are discarded after the gather."""
+    return (n + n_shards - 1) // n_shards * n_shards
+
+
+@functools.lru_cache(maxsize=128)
+def _sharded_tile_encoder(
+    mesh: Mesh,
+    axis_name: str,
+    tile_w: int,
+    tile_h: int,
+    channels: int,
+    wavelet: Wavelet,
+    wrap: Wrap,
+    color: Color,
+    discard_non_visible: bool,
+    quantization: int,
+    gate: int,
+    chroma_loss: int,
+):
+    schedule = geometry.lift_schedule(tile_w, tile_h)
+    qg = level_qg(schedule, channels, quantization, gate, chroma_loss)
+    batch_spec = NamedSharding(mesh, P(axis_name))
+
+    def fn(tiles_u8):
+        planes = to_planar_yuv(tiles_u8, color, discard_non_visible)
+        if wavelet == Wavelet.NONE:
+            return planes.reshape(planes.shape[:-3] + (-1,))
+        return forward_tile(planes, schedule, wavelet, wrap, qg)
+
+    return jax.jit(fn, in_shardings=batch_spec, out_shardings=batch_spec)
+
+
+@functools.lru_cache(maxsize=128)
+def _sharded_tile_decoder(
+    mesh: Mesh,
+    axis_name: str,
+    tile_w: int,
+    tile_h: int,
+    channels: int,
+    wavelet: Wavelet,
+    wrap: Wrap,
+    color: Color,
+):
+    schedule = geometry.lift_schedule(tile_w, tile_h)
+    batch_spec = NamedSharding(mesh, P(axis_name))
+
+    def fn(coeffs):
+        if wavelet == Wavelet.NONE:
+            planes = coeffs.reshape(coeffs.shape[:-1] + (channels, tile_h, tile_w))
+        else:
+            planes = inverse_tile(coeffs, schedule, wavelet, wrap, channels)
+        return to_interleaved_u8(planes, color, channels)
+
+    return jax.jit(fn, in_shardings=batch_spec, out_shardings=batch_spec)
+
+
+def encode_tiles_sharded(
+    image: np.ndarray,
+    s: Settings,
+    mesh: Mesh,
+    axis_name: str = "tiles",
+) -> list:
+    """Device stage of encode over a mesh; returns per-tile int16
+    streams in row-major tile order (same contract as
+    encode.encode_tiles_device)."""
+    image_h, image_w, channels = image.shape
+    grid = geometry.tile_grid(image_w, image_h, s.tiles_dimension)
+    n_shards = mesh.shape[axis_name]
+
+    by_shape: dict[tuple[int, int], list[geometry.TilePlacement]] = {}
+    for t in grid:
+        by_shape.setdefault((t.w, t.h), []).append(t)
+
+    out: list[Optional[np.ndarray]] = [None] * len(grid)
+    for (tw, th), tiles in by_shape.items():
+        fn = _sharded_tile_encoder(
+            mesh,
+            axis_name,
+            tw,
+            th,
+            channels,
+            s.wavelet,
+            s.wrap,
+            s.color,
+            bool(s.discard_non_visible),
+            s.quantization,
+            s.gate,
+            s.chroma_loss,
+        )
+        batch = np.stack(
+            [image[t.y : t.y + th, t.x : t.x + tw, :] for t in tiles], axis=0
+        )
+        padded = pad_batch(len(tiles), n_shards)
+        if padded != len(tiles):
+            batch = np.concatenate(
+                [batch, np.zeros((padded - len(tiles),) + batch.shape[1:], np.uint8)]
+            )
+        coeffs = np.asarray(fn(jnp.asarray(batch)))
+        for i, t in enumerate(tiles):
+            out[t.index] = coeffs[i]
+    return out
+
+
+def decode_tiles_sharded(
+    streams: list,
+    grid: list,
+    image: np.ndarray,
+    s: Settings,
+    channels: int,
+    mesh: Mesh,
+    axis_name: str = "tiles",
+) -> None:
+    """Device stage of decode over a mesh; writes pixels into `image`
+    in place (same contract as the loop in decode.decode)."""
+    n_shards = mesh.shape[axis_name]
+    by_shape: dict[tuple[int, int], list[geometry.TilePlacement]] = {}
+    for t in grid:
+        by_shape.setdefault((t.w, t.h), []).append(t)
+
+    for (tw, th), tiles in by_shape.items():
+        fn = _sharded_tile_decoder(
+            mesh, axis_name, tw, th, channels, s.wavelet, s.wrap, s.color
+        )
+        batch = np.stack([streams[t.index] for t in tiles], axis=0)
+        padded = pad_batch(len(tiles), n_shards)
+        if padded != len(tiles):
+            batch = np.concatenate(
+                [batch, np.zeros((padded - len(tiles),) + batch.shape[1:], np.int16)]
+            )
+        pixels = np.asarray(fn(jnp.asarray(batch)))
+        for i, t in enumerate(tiles):
+            image[t.y : t.y + th, t.x : t.x + tw, :] = pixels[i]

@@ -1,0 +1,202 @@
+"""Rate control: search quantization to hit a target compression ratio.
+
+Same search semantics as the reference's EncodePass
+(tools/akoenc.cpp:112-216): target = (w*h*ch)/ratio bytes with a 4%
+error margin; one q=0 ceiling pass, exponential x4 descent to find a
+floor, then bisection while the bracket is wider than the margin and
+|floor_q - ceil_q| > 1; finally whichever endpoint lands closer.
+
+Optimization the reference lacks (flagged in SURVEY.md §3.3): each
+probe in the reference is a full re-encode. Here the wavelet pyramid is
+computed once per color variant — quantization applies only to the
+highpass write, so probes re-run just the (cheap, elementwise) fused
+quantize/gate + entropy stage on the cached unquantized pyramid.
+Probe sizes are therefore exact, and the chosen q produces a blob
+byte-identical to a direct encode at that q."""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ako_tpu.core import container, geometry
+from ako_tpu.core.settings import AkoError, Color, Settings, Status, Wavelet
+from ako_tpu.encode import checked_settings
+from ako_tpu.ops.colorspace import to_planar_yuv
+from ako_tpu.ops.lifting import _quantize_gate
+from ako_tpu.ops.quantization import level_qg
+from ako_tpu.ops.wavelets import effective_wavelet, lift2d
+from ako_tpu.runtime.kagari import compress_block
+
+
+@functools.lru_cache(maxsize=32)
+def _pyramid_fn(tile_w, tile_h, channels, wavelet, wrap, color, discard):
+    """Jitted: u8 tiles -> (lp, [unquantized (c, b, d) per level])."""
+    schedule = geometry.lift_schedule(tile_w, tile_h)
+
+    def fn(tiles_u8):
+        planes = to_planar_yuv(tiles_u8, color, discard)
+        quads = []
+        cur = planes
+        for lvl in schedule.levels:
+            weff = effective_wavelet(wavelet, lvl.target_w, lvl.target_h)
+            ll, b, c, d = lift2d(weff, wrap, cur, lvl)
+            quads.append((c, b, d))
+            cur = ll
+        return cur, quads
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=32)
+def _serialize_fn(tile_w, tile_h, channels, n_levels):
+    """Jitted: (lp, quads, q-array, g-array) -> serialized stream.
+    q/g are runtime inputs so one compiled program serves every probe."""
+    schedule = geometry.lift_schedule(tile_w, tile_h)
+
+    def fn(lp, quads, qs, gs):
+        batch = lp.shape[:-3]
+        chunks = []
+        for i, lvl in enumerate(schedule.levels):
+            c, b, d = quads[i]
+            q = qs[i].reshape(channels, 1, 1).astype(jnp.int32)
+            g = gs[i].reshape(channels, 1, 1).astype(jnp.int32)
+            cq = _quantize_gate(c, q, g).reshape(batch + (channels, -1))
+            bq = _quantize_gate(b, q, g).reshape(batch + (channels, -1))
+            dq = _quantize_gate(d, q, g).reshape(batch + (channels, -1))
+            head = jnp.broadcast_to(
+                qs[i].astype(jnp.int16).reshape((1,) * len(batch) + (channels, 1)),
+                batch + (channels, 1),
+            )
+            chunk = jnp.concatenate([head, cq, bq, dq], axis=-1)
+            chunks.append(chunk.reshape(batch + (-1,)))
+        lp_flat = lp.reshape(batch + (-1,))
+        return jnp.concatenate([lp_flat] + chunks[::-1], axis=-1)
+
+    return jax.jit(fn)
+
+
+class _CachedEncoder:
+    """Encodes the same image at many quantization factors, computing
+    the wavelet pyramid at most once per color variant."""
+
+    def __init__(self, image: np.ndarray, base: Settings):
+        self.image = image
+        self.base = base
+        self.h, self.w, self.channels = image.shape
+        self._pyramids: Dict[Color, list] = {}
+
+    def _settings_at(self, q: int) -> Settings:
+        return checked_settings(self.base.replace(quantization=q, gate=0 if q == 0 else self.base.gate))
+
+    def _tile_pyramids(self, s: Settings):
+        key = s.color
+        if key in self._pyramids:
+            return self._pyramids[key]
+        grid = geometry.tile_grid(self.w, self.h, s.tiles_dimension)
+        out = []
+        for t in grid:
+            fn = _pyramid_fn(
+                t.w, t.h, self.channels, s.wavelet, s.wrap, s.color,
+                bool(s.discard_non_visible),
+            )
+            tile = self.image[t.y : t.y + t.h, t.x : t.x + t.w, :]
+            lp, quads = fn(jnp.asarray(tile[None]))
+            out.append((t, lp, quads))
+        self._pyramids[key] = out
+        return out
+
+    def encode_at(self, q: int) -> Optional[bytes]:
+        """Full blob at quantization q (None if an incompressible tile
+        fails, like the reference's error path)."""
+        s = self._settings_at(q)
+        head = container.head_write(self.channels, self.w, self.h, s)
+        blocks = [head]
+        for t, lp, quads in self._tile_pyramids(s):
+            schedule = geometry.lift_schedule(t.w, t.h)
+            qg = level_qg(schedule, self.channels, s.quantization, s.gate, s.chroma_loss)
+            qs = jnp.asarray([list(lv[0]) for lv in qg], dtype=jnp.int16)
+            gs = jnp.asarray([list(lv[1]) for lv in qg], dtype=jnp.int16)
+            ser = _serialize_fn(t.w, t.h, self.channels, len(schedule.levels))
+            stream = np.asarray(ser(lp, quads, qs, gs))[0]
+            tds = geometry.tile_data_size(t.w, t.h) * self.channels
+            block = compress_block(stream, tds)
+            if block is None:
+                return None
+            blocks.append(block)
+        return b"".join(blocks)
+
+    def size_at(self, q: int) -> int:
+        blob = self.encode_at(q)
+        if blob is None:
+            raise AkoError(Status.ERROR, "incompressible tile")
+        self._last = (q, blob)
+        return len(blob)
+
+
+def encode_with_ratio(
+    image: np.ndarray,
+    settings: Settings,
+    ratio: int,
+    verbose: bool = False,
+) -> Tuple[bytes, int]:
+    """Returns (blob, chosen_quantization). Search identical to the
+    reference's EncodePass; probes reuse the cached pyramid."""
+    s = checked_settings(settings)
+    if ratio == 0 or s.wavelet == Wavelet.NONE or s.compression.value == 2:
+        from ako_tpu.encode import encode
+
+        return encode(image, s), s.quantization
+    if ratio == 1:
+        from ako_tpu.encode import encode
+
+        s0 = s.replace(quantization=0, gate=0)
+        return encode(image, s0), 0
+
+    h, w, ch = image.shape
+    target_size = (w * h * ch) // ratio
+    error_margin = (target_size * 4) // 100
+
+    enc = _CachedEncoder(image, settings)
+
+    ceil_size = enc.size_at(0)
+    q = 1
+    floor_size, floor_q, ceil_q = ceil_size, 0, 0
+    while True:
+        q *= 4
+        ceil_size, ceil_q = floor_size, floor_q
+        floor_size, floor_q = enc.size_at(q), q
+        if verbose:
+            print(f" - Q: {ceil_q}|{floor_q}, {ceil_size/1000:.1f}|{floor_size/1000:.1f} kB")
+        if floor_size <= target_size:
+            break
+
+    last_size = floor_size
+    while (
+        max(floor_size, ceil_size) - min(floor_size, ceil_size) > error_margin
+        and abs(floor_q - ceil_q) > 1
+    ):
+        q = (ceil_q + floor_q) // 2
+        last_size = enc.size_at(q)
+        if last_size > target_size:
+            ceil_size, ceil_q = last_size, q
+        else:
+            floor_size, floor_q = last_size, q
+        if verbose:
+            print(f" - Q: {ceil_q}|{floor_q}, {ceil_size/1000:.1f}|{floor_size/1000:.1f} kB")
+
+    if (max(floor_size, target_size) - min(floor_size, target_size)) < (
+        max(ceil_size, target_size) - min(ceil_size, target_size)
+    ):
+        chosen = floor_q
+    else:
+        chosen = ceil_q
+
+    blob = enc.encode_at(chosen)
+    if blob is None:
+        raise AkoError(Status.ERROR, "incompressible tile")
+    return blob, chosen

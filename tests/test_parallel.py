@@ -1,0 +1,108 @@
+"""Sharding correctness on the virtual 8-device CPU mesh: the
+multi-chip paths must produce bit-identical streams/pixels to the
+single-chip path (and therefore to the reference)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ako_tpu.core import geometry
+from ako_tpu.core.settings import Settings, Wavelet, Wrap, Color
+from ako_tpu.encode import encode_tiles_device, checked_settings
+from ako_tpu.ops.colorspace import to_planar_yuv
+from ako_tpu.ops.lifting import forward_tile, inverse_tile
+from ako_tpu.ops.quantization import level_qg
+from ako_tpu.parallel import make_mesh, forward_tile_sharded, inverse_tile_sharded
+from ako_tpu.parallel.tiles import encode_tiles_sharded
+
+needs_8dev = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+@needs_8dev
+class TestHaloShardedLift:
+    @pytest.mark.parametrize("wavelet", [Wavelet.DD137, Wavelet.CDF53, Wavelet.HAAR])
+    @pytest.mark.parametrize("wrap", [Wrap.CLAMP, Wrap.REPEAT, Wrap.ZERO, Wrap.MIRROR])
+    def test_forward_matches_single_chip(self, rng, wavelet, wrap):
+        mesh = make_mesh((8,), ("rows",))
+        w = h = 128  # 8 shards x 16 rows; 2 sharded levels then replicated
+        s = Settings(wavelet=wavelet, wrap=wrap, quantization=16)
+        planes = rng.integers(-512, 512, size=(3, h, w)).astype(np.int16)
+        schedule = geometry.lift_schedule(w, h)
+        qg = level_qg(schedule, 3, s.quantization, s.gate, s.chroma_loss)
+
+        ref = np.asarray(
+            jax.jit(lambda p: forward_tile(p, schedule, wavelet, wrap, qg))(
+                jnp.asarray(planes)
+            )
+        )
+        sharded = np.asarray(
+            jax.jit(
+                lambda p: forward_tile_sharded(
+                    p, schedule, wavelet, wrap, qg, mesh
+                )
+            )(jnp.asarray(planes))
+        )
+        np.testing.assert_array_equal(sharded, ref)
+
+    @pytest.mark.parametrize("wavelet", [Wavelet.DD137, Wavelet.CDF53])
+    def test_inverse_matches_single_chip(self, rng, wavelet):
+        mesh = make_mesh((8,), ("rows",))
+        w = h = 128
+        s = Settings(wavelet=wavelet, quantization=16)
+        planes = rng.integers(-512, 512, size=(2, h, w)).astype(np.int16)
+        schedule = geometry.lift_schedule(w, h)
+        qg = level_qg(schedule, 2, s.quantization, s.gate, s.chroma_loss)
+        coeffs = jax.jit(
+            lambda p: forward_tile(p, schedule, wavelet, s.wrap, qg)
+        )(jnp.asarray(planes))
+
+        ref = np.asarray(
+            jax.jit(lambda c: inverse_tile(c, schedule, wavelet, s.wrap, 2))(coeffs)
+        )
+        sharded = np.asarray(
+            jax.jit(
+                lambda c: inverse_tile_sharded(c, schedule, wavelet, s.wrap, 2, mesh)
+            )(coeffs)
+        )
+        np.testing.assert_array_equal(sharded, ref)
+
+    def test_lossless_roundtrip_sharded(self, rng):
+        mesh = make_mesh((8,), ("rows",))
+        w = h = 64
+        wavelet, wrap = Wavelet.CDF53, Wrap.CLAMP
+        planes = rng.integers(-255, 256, size=(1, h, w)).astype(np.int16)
+        schedule = geometry.lift_schedule(w, h)
+        qg = level_qg(schedule, 1, 0, 0, 1)
+        coeffs = jax.jit(
+            lambda p: forward_tile_sharded(p, schedule, wavelet, wrap, qg, mesh)
+        )(jnp.asarray(planes))
+        back = jax.jit(
+            lambda c: inverse_tile_sharded(c, schedule, wavelet, wrap, 1, mesh)
+        )(coeffs)
+        np.testing.assert_array_equal(np.asarray(back), planes)
+
+
+@needs_8dev
+class TestTileParallel:
+    def test_sharded_streams_match_single_chip(self, rng):
+        mesh = make_mesh((8,), ("tiles",))
+        img = rng.integers(0, 256, size=(96, 128, 3), dtype=np.uint8)
+        s = checked_settings(Settings(quantization=16, tiles_dimension=32))
+        ref = encode_tiles_device(img, s)
+        got = encode_tiles_sharded(img, s, mesh)
+        assert len(ref) == len(got)
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(a, b)
+
+    def test_ragged_grid(self, rng):
+        # 3x2 grid of 32-tiles + border tiles: batch not divisible by 8
+        mesh = make_mesh((8,), ("tiles",))
+        img = rng.integers(0, 256, size=(80, 72, 3), dtype=np.uint8)
+        s = checked_settings(Settings(quantization=16, tiles_dimension=32))
+        ref = encode_tiles_device(img, s)
+        got = encode_tiles_sharded(img, s, mesh)
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(a, b)

@@ -1,0 +1,192 @@
+"""End-to-end bit-exactness vs the reference library (the oracle).
+
+The codec is all-integer and deterministic, so the contract is strict:
+our blob must be byte-identical to akoEncodeExt's and our decoded
+pixels bit-identical to akoDecodeExt's for every settings combination
+(reference README.md:14, library/encode.c:38, library/decode.c:38).
+Shapes are kept small so each distinct tile shape compiles quickly on
+the CPU test mesh.
+"""
+
+import numpy as np
+import pytest
+
+import ako_tpu
+from ako_tpu import Color, Settings, Wavelet, Wrap, Compression
+from ako_tpu.encode import checked_settings
+from tests import oracle
+
+pytestmark = pytest.mark.skipif(
+    not oracle.available(), reason="reference sources not available"
+)
+
+
+def _img(rng, w, h, ch):
+    return rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+
+
+def assert_parity(rng, w, h, ch, s):
+    img = _img(rng, w, h, ch)
+    ref_blob = oracle.ref_encode(img, checked_settings(s))
+    ours_blob = ako_tpu.encode(img, s)
+    assert ref_blob is not None
+    assert ours_blob == ref_blob, (
+        f"blob mismatch: ref {len(ref_blob)}B ours {len(ours_blob)}B"
+    )
+    ref_img, _ = oracle.ref_decode(ref_blob)
+    our_img, _, our_ch = ako_tpu.decode(ours_blob)
+    assert our_ch == ch
+    np.testing.assert_array_equal(our_img, ref_img)
+
+
+class TestWavelets:
+    @pytest.mark.parametrize("wavelet", [Wavelet.DD137, Wavelet.CDF53, Wavelet.HAAR])
+    @pytest.mark.parametrize("q", [0, 16])
+    def test_gray(self, rng, wavelet, q):
+        assert_parity(
+            rng, 48, 48, 1, Settings(wavelet=wavelet, color=Color.NONE, quantization=q)
+        )
+
+    @pytest.mark.parametrize("wavelet", [Wavelet.DD137, Wavelet.CDF53, Wavelet.HAAR])
+    def test_rgb_lossy(self, rng, wavelet):
+        assert_parity(rng, 40, 56, 3, Settings(wavelet=wavelet, quantization=16))
+
+    def test_wavelet_none_uncompressed(self, rng):
+        assert_parity(
+            rng,
+            24,
+            24,
+            3,
+            Settings(
+                wavelet=Wavelet.NONE, quantization=0, compression=Compression.NONE
+            ),
+        )
+
+    def test_wavelet_none_kagari_roundtrip(self, rng):
+        """Deliberate divergence: the reference's WAVELET_NONE + KAGARI
+        compresses akoTileDataSize bytes out of a buffer holding only
+        w*h*ch*2 (compression.c:40 ignores the NONE-mode size override
+        of encode.c:126-129), so its blob embeds uninitialized heap
+        bytes and its own decoder rejects the stream (count mismatch in
+        akoDecompress). We compress exactly the planar payload: the
+        blob is deterministic and decodes."""
+        img = _img(rng, 24, 24, 3)
+        s = Settings(wavelet=Wavelet.NONE, quantization=0)
+        # reference: encodes (garbage) but cannot decode its own output
+        ref_blob = oracle.ref_encode(img, checked_settings(s))
+        if ref_blob is not None:
+            assert oracle.ref_decode(ref_blob) is None
+        # ours: clean round-trip
+        blob = ako_tpu.encode(img, s)
+        out, _, _ = ako_tpu.decode(blob)
+        np.testing.assert_array_equal(out, img)
+
+
+class TestOddDimensions:
+    """Odd dims exercise the plus-one rule / fake-last-col-row paths
+    (library/lifting.c:46-47) at every level."""
+
+    @pytest.mark.parametrize("wh", [(31, 17), (33, 48), (7, 9), (3, 3), (5, 64)])
+    def test_odd(self, rng, wh):
+        w, h = wh
+        assert_parity(rng, w, h, 3, Settings(quantization=16))
+
+    def test_1x1_incompressible(self, rng):
+        """A 1x1 tile's Kagari budget (tile_data_size - block head) is
+        2 bytes — too small for three literals, so the reference fails
+        with AKO_ERROR (compression.c:49-50). We must too."""
+        img = _img(rng, 1, 1, 3)
+        s = Settings(quantization=16)
+        assert oracle.ref_encode(img, checked_settings(s)) is None
+        with pytest.raises(ako_tpu.AkoError):
+            ako_tpu.encode(img, s)
+
+    def test_odd_lossless(self, rng):
+        assert_parity(rng, 45, 27, 3, Settings(quantization=0, gate=0))
+
+
+class TestWrapModes:
+    @pytest.mark.parametrize("wrap", list(Wrap))
+    @pytest.mark.parametrize("wavelet", [Wavelet.DD137, Wavelet.CDF53])
+    def test_wrap(self, rng, wrap, wavelet):
+        assert_parity(
+            rng, 36, 28, 3, Settings(wavelet=wavelet, wrap=wrap, quantization=16)
+        )
+
+
+class TestColor:
+    @pytest.mark.parametrize("color", [Color.YCOCG, Color.SUBTRACT_G, Color.NONE])
+    @pytest.mark.parametrize("q", [0, 16])
+    def test_color(self, rng, color, q):
+        assert_parity(rng, 32, 32, 3, Settings(color=color, quantization=q))
+
+    def test_rgba_discard_non_visible(self, rng):
+        img = _img(rng, 32, 32, 4)
+        img[:16, :, 3] = 0  # invisible region
+        s = Settings(quantization=16, discard_non_visible=True)
+        ref_blob = oracle.ref_encode(img, checked_settings(s))
+        assert ako_tpu.encode(img, s) == ref_blob
+
+    def test_two_channel(self, rng):
+        assert_parity(rng, 32, 32, 2, Settings(quantization=16))
+
+    def test_chroma_loss(self, rng):
+        assert_parity(rng, 32, 32, 3, Settings(quantization=16, chroma_loss=3))
+        assert_parity(rng, 32, 32, 3, Settings(quantization=16, chroma_loss=0))
+
+
+class TestQuantization:
+    @pytest.mark.parametrize("q", [0, 1, 16, 32, 255, 4096])
+    def test_q_sweep(self, rng, q):
+        assert_parity(rng, 32, 32, 3, Settings(quantization=q))
+
+    @pytest.mark.parametrize("g", [0, 8, 64])
+    def test_gate(self, rng, g):
+        assert_parity(rng, 32, 32, 3, Settings(quantization=0, gate=g))
+
+
+class TestTiling:
+    def test_exact_grid(self, rng):
+        assert_parity(rng, 64, 32, 3, Settings(quantization=16, tiles_dimension=32))
+
+    def test_border_tiles(self, rng):
+        # 50x40 with 32-tiles: border tiles of 18x40, 32x8, 18x8
+        assert_parity(rng, 50, 40, 3, Settings(quantization=16, tiles_dimension=32))
+
+    def test_min_tiles(self, rng):
+        assert_parity(rng, 20, 20, 1, Settings(
+            quantization=16, tiles_dimension=8, color=Color.NONE
+        ))
+
+
+class TestCompressionNone:
+    def test_uncompressed(self, rng):
+        assert_parity(
+            rng, 32, 32, 3, Settings(quantization=16, compression=Compression.NONE)
+        )
+
+
+class TestHeaderParity:
+    def test_header_roundtrip_settings(self, rng):
+        s = Settings(
+            wavelet=Wavelet.CDF53,
+            color=Color.SUBTRACT_G,
+            wrap=Wrap.MIRROR,
+            quantization=16,
+            tiles_dimension=16,
+        )
+        blob = ako_tpu.encode(_img(rng, 20, 20, 3), s)
+        _, got, _ = ako_tpu.decode(blob)
+        assert got.wavelet == s.wavelet
+        assert got.color == Color.YCOCG_Q or got.color == s.color
+        assert got.wrap == s.wrap
+        assert got.tiles_dimension == s.tiles_dimension
+
+    def test_broken_inputs(self, rng):
+        blob = ako_tpu.encode(_img(rng, 16, 16, 1), Settings(color=Color.NONE))
+        with pytest.raises(ako_tpu.AkoError):
+            ako_tpu.decode(blob[:10])  # truncated header
+        with pytest.raises(ako_tpu.AkoError):
+            ako_tpu.decode(b"Bko" + blob[3:])  # bad magic
+        with pytest.raises(ako_tpu.AkoError):
+            ako_tpu.decode(blob[: len(blob) // 2])  # truncated payload

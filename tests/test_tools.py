@@ -1,0 +1,112 @@
+"""CLI tools: options registry behavior, Adler-32, akoenc/akodec
+round-trip through PNG files, rate-control parity with a direct
+encode at the chosen q."""
+
+import os
+
+import numpy as np
+import pytest
+
+import ako_tpu
+from ako_tpu import Settings
+from ako_tpu.tools.misc import adler32
+from ako_tpu.tools.options import (
+    BoolOption,
+    IntOption,
+    OptionError,
+    OptionsManager,
+    StringOption,
+)
+
+
+class TestOptions:
+    def _om(self):
+        om = OptionsManager("test")
+        om.add_int("-q", 16, 0, 100, "cat", "")
+        om.add_string("-w", "DD137", ["DD137", "CDF53"], "cat", "")
+        om.add_bool("-b", "cat", "")
+        return om
+
+    def test_defaults(self):
+        om = self._om()
+        om.parse_arguments([])
+        assert om["-q"].value == 16
+        assert om["-w"].value == "DD137"
+        assert om["-b"].value is False
+
+    def test_parse(self):
+        om = self._om()
+        om.parse_arguments(["-q", "42", "-w", "cdf53", "-b"])
+        assert om["-q"].value == 42
+        assert om["-w"].index == 1  # index doubles as enum value
+        assert om["-b"].value is True
+
+    def test_errors(self):
+        om = self._om()
+        with pytest.raises(OptionError):
+            om.parse_arguments(["-nope"])
+        with pytest.raises(OptionError):
+            om.parse_arguments(["-q", "101"])  # out of range
+        with pytest.raises(OptionError):
+            om.parse_arguments(["-q"])  # missing value
+        with pytest.raises(OptionError):
+            om.parse_arguments(["-w", "HAAR"])  # not in allowed set
+
+
+class TestChecksum:
+    def test_adler32_known(self):
+        # Adler-32 of "Wikipedia" is the classic test vector
+        assert adler32(b"Wikipedia") == 0x11E60398
+
+
+class TestCli:
+    def test_encode_decode_files(self, rng, tmp_path):
+        from PIL import Image
+
+        from ako_tpu.tools.akodec import main as dec_main
+        from ako_tpu.tools.akoenc import main as enc_main
+
+        img = rng.integers(0, 256, size=(40, 32, 3), dtype=np.uint8)
+        png_in = str(tmp_path / "in.png")
+        ako = str(tmp_path / "out.ako")
+        png_out = str(tmp_path / "out.png")
+        Image.fromarray(img).save(png_in)
+
+        assert enc_main(["-i", png_in, "-o", ako, "-q", "0", "-quiet"]) == 0
+        assert os.path.exists(ako)
+        assert dec_main(["-i", ako, "-o", png_out, "-quiet"]) == 0
+        out = np.asarray(Image.open(png_out))
+        np.testing.assert_array_equal(out, img)  # q=0 is lossless
+
+    def test_events_benchmark(self, rng):
+        from ako_tpu.core.events import EventsData
+
+        img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+        ev = EventsData()
+        blob = ako_tpu.encode(img, Settings(quantization=16), events=ev.callback)
+        assert ev.wavelet.total > 0
+        assert ev.compression.total > 0
+        ev2 = EventsData()
+        ako_tpu.decode(blob, events=ev2.callback)
+        assert ev2.wavelet.total > 0
+
+
+class TestRateControl:
+    def test_matches_direct_encode(self, rng):
+        from ako_tpu.tools.rate import encode_with_ratio
+
+        img = rng.integers(0, 200, size=(64, 64, 3), dtype=np.uint8)
+        # smooth it so it compresses (pure noise can't hit high ratios)
+        img = (img // 8 * 8).astype(np.uint8)
+        blob, q = encode_with_ratio(img, Settings(), ratio=8)
+        direct = ako_tpu.encode(img, Settings(quantization=q))
+        assert blob == direct
+
+    def test_ratio_one_is_lossless(self, rng):
+        from ako_tpu.tools.rate import encode_with_ratio
+
+        img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+        blob, q = encode_with_ratio(img, Settings(), ratio=1)
+        assert q == 0
+        out, _, _ = ako_tpu.decode(blob)
+        np.testing.assert_array_equal(out, img)
