@@ -30,9 +30,15 @@ from ako_tpu.core.settings import (
     default_settings,
 )
 from ako_tpu.ops.colorspace import to_planar_yuv
+from ako_tpu.ops.kagari_device import kagari_encode_device
 from ako_tpu.ops.lifting import forward_tile
 from ako_tpu.ops.quantization import level_qg
-from ako_tpu.runtime.kagari import compress_block
+from ako_tpu.runtime.kagari import BLOCK_HEAD, compress_block
+
+#: device-entropy fallback margin: within this many bytes of capacity,
+#: defer to the host coder so the exact failure semantics of the
+#: reference's bounds checks (kagari.c:66-78,95-110) decide
+_CAPACITY_MARGIN = 16
 
 
 def checked_settings(s: Optional[Settings]) -> Settings:
@@ -71,6 +77,48 @@ def _tile_encoder(
         return forward_tile(planes, schedule, wavelet, wrap, qg)
 
     return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=256)
+def _tile_encoder_fused(
+    tile_w: int,
+    tile_h: int,
+    channels: int,
+    wavelet: Wavelet,
+    wrap: Wrap,
+    color: Color,
+    discard_non_visible: bool,
+    quantization: int,
+    gate: int,
+    chroma_loss: int,
+):
+    """Fully fused device program: (T, tile_h, tile_w, channels) u8
+    tiles -> (compressed bytes (T, capacity) u8, total_bytes (T,) i32).
+    The Kagari block is produced ON DEVICE (ops/kagari_device.py), so
+    only compressed bytes cross the host link."""
+    schedule = geometry.lift_schedule(tile_w, tile_h)
+    qg = level_qg(schedule, channels, quantization, gate, chroma_loss)
+    if wavelet != Wavelet.NONE:
+        tds = geometry.tile_data_size(tile_w, tile_h) * channels
+    else:
+        tds = tile_w * tile_h * channels * 2
+    capacity = tds - BLOCK_HEAD.size
+    # The device coder's rank step costs linearly in buffer size, so
+    # size it for the expected ratio, not the worst case: lossy output
+    # is typically >4:1, lossless ~1.3-2:1. Tiles exceeding the budget
+    # fall back to the host coder (rare, still byte-exact).
+    budget = capacity // 2 if quantization > 0 else capacity * 7 // 8
+    budget = max(budget, 4096)
+
+    def fn(tiles_u8):
+        planes = to_planar_yuv(tiles_u8, color, discard_non_visible)
+        if wavelet == Wavelet.NONE:
+            stream = planes.reshape(planes.shape[:-3] + (-1,))
+        else:
+            stream = forward_tile(planes, schedule, wavelet, wrap, qg)
+        return jax.vmap(lambda v: kagari_encode_device(v, capacity, budget))(stream)
+
+    return jax.jit(fn), capacity, budget
 
 
 def _fire(events, tile_no, total, event, user):
@@ -123,11 +171,92 @@ def encode_tiles_device(
     return out
 
 
+def encode_tiles_blocks(
+    image: np.ndarray,
+    s: Settings,
+    events: Optional[EventsCallback] = None,
+    events_user=None,
+):
+    """Device-entropy encode: run format+lift+Kagari fused on device
+    and return the framed per-tile blocks (bytes) in tile order. Only
+    compressed bytes cross the device->host link. Tiles that land
+    within _CAPACITY_MARGIN of capacity fall back to the host coder
+    for exact boundary/failure semantics."""
+    image_h, image_w, channels = image.shape
+    grid = geometry.tile_grid(image_w, image_h, s.tiles_dimension)
+    total = len(grid)
+
+    by_shape: dict[tuple[int, int], list[geometry.TilePlacement]] = {}
+    for t in grid:
+        by_shape.setdefault((t.w, t.h), []).append(t)
+
+    out: list[Optional[bytes]] = [None] * len(grid)
+    for (tw, th), tiles in by_shape.items():
+        fn, capacity, budget = _tile_encoder_fused(
+            tw,
+            th,
+            channels,
+            s.wavelet,
+            s.wrap,
+            s.color,
+            bool(s.discard_non_visible),
+            s.quantization,
+            s.gate,
+            s.chroma_loss,
+        )
+        t0 = tiles[0].index
+        _fire(events, t0, total, Event.FORMAT_START, events_user)
+        batch = np.stack(
+            [image[t.y : t.y + th, t.x : t.x + tw, :] for t in tiles], axis=0
+        )
+        batch_dev = jnp.asarray(batch)
+        _fire(events, t0, total, Event.FORMAT_END, events_user)
+        _fire(events, t0, total, Event.WAVELET_START, events_user)
+        comp_bytes, totals_dev = fn(batch_dev)
+        totals = np.asarray(totals_dev)
+        _fire(events, t0, total, Event.WAVELET_END, events_user)
+
+        _fire(events, t0, total, Event.COMPRESSION_START, events_user)
+        fallback = [
+            i
+            for i, n in enumerate(totals)
+            if int(n) > budget or int(n) >= capacity - _CAPACITY_MARGIN
+        ]
+        ok = [i for i in range(len(tiles)) if i not in set(fallback)]
+        if ok:
+            # one bulk transfer of the used byte range for all tiles
+            m = int(max(totals[i] for i in ok))
+            host_bytes = np.asarray(comp_bytes[:, :m])
+            for i in ok:
+                n = int(totals[i])
+                out[tiles[i].index] = (
+                    BLOCK_HEAD.pack(n) + host_bytes[i, :n].tobytes()
+                )
+
+        if fallback:
+            # near-capacity tiles: exact reference bounds checks decide
+            sfn = _tile_encoder(
+                tw, th, channels, s.wavelet, s.wrap, s.color,
+                bool(s.discard_non_visible), s.quantization, s.gate,
+                s.chroma_loss,
+            )
+            streams = np.asarray(sfn(jnp.asarray(batch[fallback])))
+            for j, i in enumerate(fallback):
+                t = tiles[i]
+                block = compress_block(streams[j], capacity + BLOCK_HEAD.size)
+                if block is None:
+                    raise AkoError(Status.ERROR, "incompressible tile")
+                out[t.index] = block
+        _fire(events, t0, total, Event.COMPRESSION_END, events_user)
+    return out
+
+
 def encode(
     image: np.ndarray,
     settings: Optional[Settings] = None,
     events: Optional[EventsCallback] = None,
     events_user=None,
+    device_entropy: Optional[bool] = None,
 ) -> bytes:
     """Encode an interleaved uint8 image of shape (h, w, channels) or
     (h, w). Returns the .ako blob; raises AkoError on failure.
@@ -146,6 +275,13 @@ def encode(
     image_h, image_w, channels = image.shape
 
     head = container.head_write(channels, image_w, image_h, s)
+
+    if device_entropy is None:
+        device_entropy = jax.default_backend() != "cpu"
+
+    if device_entropy and s.compression == Compression.KAGARI:
+        tile_blocks = encode_tiles_blocks(image, s, events, events_user)
+        return head + b"".join(tile_blocks)
 
     streams = encode_tiles_device(image, s, events, events_user)
 

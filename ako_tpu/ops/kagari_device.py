@@ -1,0 +1,185 @@
+"""Device-side Kagari entropy encoder: the scan-based formulation.
+
+The reference coder is a sequential 64-bit bit-accumulator loop
+(reference library/kagari.c:59-297). On TPU it becomes data-parallel
+passes over the whole coefficient stream:
+
+  1. zigzag + RLE tokenization — run structure recovered with a
+     cumulative-max "distance to last mismatch", the run-length escape
+     rules (trigger 2, forced flush at counter 65534) evaluated
+     pointwise from that distance;
+  2. per-token Elias-gamma bit lengths (compare ladder) + exclusive
+     cumsum for bit offsets;
+  3. bit packing without any scatter: every token's value contributes
+     a 64-bit-window aligned pair of 32-bit words (codes are <= 31
+     bits so windows never carry); per-word sums are recovered from a
+     cumulative sum sampled at word boundaries via searchsorted —
+     token word-indices are monotonically sorted, so segment sums are
+     just differences of the cumsum (XLA-friendly: no scatter, whose
+     TPU lowering compiles pathologically slowly).
+
+The emitted bytes equal the reference's byte stream exactly: the
+accumulator's flush pattern is plain MSB-first bit concatenation with
+zero padding of the final byte; only its *failure* conditions differ,
+so callers must fall back to the host coder when the result lands
+within a few bytes of the capacity (see runtime/kagari.py).
+
+The decoder stays on the host: a gamma stream's code boundaries are
+prefix-sequential, so decode parallelism comes from independent tiles
+instead (runtime/executor.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+RLE_TRIGGER = 2
+VALUE_MAX = 65535
+FLUSH_COUNTER = VALUE_MAX - 1  # run counter value that forces a token
+
+
+def _exclusive_cumsum(x):
+    return jnp.cumsum(x) - x
+
+
+def tokenize(values):
+    """values: (n,) int16 serialized stream -> per-position token pair
+    arrays, flattened to shape (2n,): even slots are the (optional)
+    literal at that position, odd slots the (optional) RLE token
+    emitted right after it.
+
+    Returns (vals, nbits): uint32 token values (gamma argument) and
+    int32 code lengths, 0 where no token is emitted."""
+    n = values.shape[0]
+    v = values.astype(jnp.int32)
+
+    # zigzag + 1, with the uint16 wrap for -32768 (kagari.c:169-175
+    # behavior through the uint16 argument truncation)
+    z = ((v << 1) ^ (v >> 15)) & 0xFFFF
+    u = (z + 1) & 0xFFFF
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    same = jnp.concatenate(
+        [jnp.zeros((1,), jnp.bool_), values[1:] == values[:-1]]
+    )
+    # distance to the last mismatch == the reference's run counter,
+    # except it keeps growing past the forced flush
+    last_mismatch = jax.lax.cummax(jnp.where(same, jnp.int32(-1), idx))
+    d = idx - last_mismatch
+    # counter value after the forced-flush reset cycle
+    rc = jnp.where(d > 0, ((d - 1) % FLUSH_COUNTER) + 1, 0)
+
+    lit_mask = (d == 0) | (rc <= RLE_TRIGGER)
+    flush_mask = rc == FLUSH_COUNTER
+    run_end = same & jnp.concatenate(
+        [~same[1:], jnp.ones((1,), jnp.bool_)]
+    )
+    end_mask = run_end & (rc >= RLE_TRIGGER) & (rc != FLUSH_COUNTER)
+
+    tok_mask = flush_mask | end_mask
+    # run token value: counter - trigger + 1 (kagari.c:199-204)
+    tok_val = jnp.where(
+        flush_mask, jnp.int32(FLUSH_COUNTER - RLE_TRIGGER + 1), rc - RLE_TRIGGER + 1
+    )
+
+    vals = jnp.stack(
+        [jnp.where(lit_mask, u, 0), jnp.where(tok_mask, tok_val, 0)], axis=-1
+    ).reshape(2 * n)
+    nbits = _gamma_bits(vals) * (
+        jnp.stack([lit_mask, tok_mask], axis=-1).reshape(2 * n)
+    )
+    return vals.astype(jnp.uint32), nbits.astype(jnp.int32)
+
+
+def _gamma_bits(u):
+    """Elias-gamma code length: 2*floor(log2(u)) + 1 for u >= 1, and 1
+    for the u == 0 wrap value (matches gamma_bits' while-loop)."""
+    b = jnp.zeros_like(u)
+    for k in range(1, 16):
+        b = b + (u >= (1 << k)).astype(u.dtype)
+    return (2 * b + 1).astype(jnp.int32)
+
+
+def pack_bits(vals, nbits, capacity_bytes: int):
+    """Scatter the gamma codes MSB-first into a byte array.
+
+    vals/nbits: (m,) token values and code lengths (0 = no token).
+    Returns (bytes_u8 of shape (capacity_bytes,), total_bits scalar).
+    Bytes beyond ceil(total_bits/8) are zero."""
+    cap_words = (capacity_bytes + 3) // 4
+    offs = _exclusive_cumsum(nbits)
+    total_bits = offs[-1] + nbits[-1]
+
+    word = (offs >> 5).astype(jnp.int32)
+    shift = (offs & 31).astype(jnp.int32)
+    # Conceptual 64-bit window [word, word+1): the value's MSB lands at
+    # window bit `shift`. TPUs have no native 64-bit ints, so split the
+    # window into two uint32 halves directly: k1 bits into word, the
+    # remaining k2 = nbits - k1 into word+1. Codes are <= 31 bits, so
+    # each token touches exactly these two words and never carries —
+    # the scatter-add below is equivalent to bitwise OR.
+    v32 = vals.astype(jnp.uint32)
+    k1 = jnp.clip(32 - shift, 0, None)
+    k1 = jnp.minimum(k1, nbits)
+    k2 = nbits - k1
+    # shifts are clamped to < 32 and masked, so no UB-range shifts
+    hi_part = v32 >> jnp.minimum(k2, 31).astype(jnp.uint32)
+    hi = jnp.where(
+        (nbits > 0) & (k1 > 0),
+        hi_part << jnp.clip(32 - shift - k1, 0, 31).astype(jnp.uint32),
+        jnp.uint32(0),
+    )
+    lo_mask = jnp.where(k2 > 0, (jnp.uint32(1) << jnp.minimum(k2, 31).astype(jnp.uint32)) - 1, 0)
+    lo = jnp.where(
+        k2 > 0,
+        (v32 & lo_mask) << jnp.clip(32 - k2, 0, 31).astype(jnp.uint32),
+        jnp.uint32(0),
+    )
+
+    # Segment-sum by sorted word index, scatter-free: cumsum wraps mod
+    # 2^32 but in-word bits are disjoint, so boundary differences are
+    # exact. words[w] = sum(hi where word==w) + sum(lo where word+1==w).
+    # One rank computation serves both: #(word+1 <= q) == #(word <= q-1)
+    # is the same rank shifted by one query. The rank (searchsorted) is
+    # the expensive step on TPU, so it runs over a reduced query budget
+    # (cap_words); callers choosing cap_words below the true worst case
+    # must fall back when total_bits exceeds 32*cap_words.
+    wq = jnp.arange(cap_words, dtype=jnp.int32)
+    upper = jnp.searchsorted(word, wq, side="right").astype(jnp.int32)
+    zero = jnp.zeros((1,), jnp.uint32)
+
+    cs_hi = jnp.concatenate([zero, jnp.cumsum(hi, dtype=jnp.uint32)])
+    cs_lo = jnp.concatenate([zero, jnp.cumsum(lo, dtype=jnp.uint32)])
+    ends_hi = cs_hi[upper]  # Σ hi over tokens with word <= q
+    ends_lo = cs_lo[upper]
+    prev_hi = jnp.concatenate([zero, ends_hi[:-1]])
+    prev_lo = jnp.concatenate([zero, ends_lo[:-1]])
+    prev2_lo = jnp.concatenate([zero, prev_lo[:-1]])
+    # words[q] = Σ hi (word == q)  +  Σ lo (word == q-1)
+    words = (ends_hi - prev_hi) + (prev_lo - prev2_lo)
+
+    # words hold the stream big-endian (bit 0 of the stream is the MSB
+    # of word 0): emit bytes MSB-first
+    b0 = (words >> 24) & 0xFF
+    b1 = (words >> 16) & 0xFF
+    b2 = (words >> 8) & 0xFF
+    b3 = words & 0xFF
+    by = jnp.stack([b0, b1, b2, b3], axis=-1).reshape(-1)[:capacity_bytes]
+    return by.astype(jnp.uint8), total_bits
+
+
+def kagari_encode_device(values, capacity_bytes: int, budget_bytes: int | None = None):
+    """Full device-side Kagari encode of one serialized int16 stream.
+    Returns (bytes_u8 (budget_bytes,), total_bytes scalar int32).
+
+    total_bytes == ceil(total_bits / 8) and is always exact. The byte
+    buffer only covers `budget_bytes` (defaults to capacity_bytes) —
+    the rank step's cost is linear in the buffer size, so callers pick
+    a budget below the worst case and MUST fall back to the host coder
+    whenever total_bytes > budget_bytes (see encode.encode_tiles_blocks)."""
+    if budget_bytes is None:
+        budget_bytes = capacity_bytes
+    vals, nbits = tokenize(values)
+    by, total_bits = pack_bits(vals, nbits, budget_bytes)
+    return by, (total_bits + 7) >> 3

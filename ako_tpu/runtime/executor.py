@@ -1,0 +1,159 @@
+"""Streaming batch pipeline: overlap device compute with host entropy
+coding across a stream of images.
+
+The reference processes one image per process invocation, strictly
+sequentially (library/encode.c:115). Here, encode of image i+1's tiles
+runs on the TPU while image i's Kagari blocks are being written on the
+host: JAX dispatch is asynchronous, so the device program is enqueued
+and the host thread pool (ctypes releases the GIL during the native
+coder calls) drains the previous image's streams concurrently. Within
+one image, per-tile entropy blocks are independent and coded in
+parallel; container order is restored on collection (the bitstream
+gather of SURVEY.md §2.4.3).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+from typing import Iterable, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ako_tpu.core import container, geometry
+from ako_tpu.core.settings import (
+    AkoError,
+    Compression,
+    Settings,
+    Status,
+    Wavelet,
+)
+from ako_tpu.encode import checked_settings, encode_tiles_device
+from ako_tpu.runtime.kagari import compress_block, decompress_block
+
+
+def _entropy_encode_image(
+    streams: List[np.ndarray],
+    grid,
+    channels: int,
+    s: Settings,
+    head: bytes,
+    pool: Optional[cf.ThreadPoolExecutor],
+) -> bytes:
+    def one(t, values):
+        if s.wavelet != Wavelet.NONE:
+            tds = geometry.tile_data_size(t.w, t.h) * channels
+        else:
+            tds = t.w * t.h * channels * 2
+        if s.compression != Compression.NONE:
+            block = compress_block(values, tds)
+            if block is None:
+                raise AkoError(Status.ERROR, "incompressible tile")
+            return block
+        return values.tobytes()
+
+    if pool is None or len(grid) < 2:
+        blocks = [one(t, v) for t, v in zip(grid, streams)]
+    else:
+        blocks = list(pool.map(one, grid, streams))
+    return head + b"".join(blocks)
+
+
+class PipelineEncoder:
+    """Encode a stream of images with device/host overlap.
+
+    >>> enc = PipelineEncoder(settings, workers=4)
+    >>> for blob in enc.encode_iter(images):
+    ...     sink(blob)
+    """
+
+    def __init__(self, settings: Optional[Settings] = None, workers: int = 4):
+        self.settings = checked_settings(settings)
+        self.workers = max(1, workers)
+
+    def encode_iter(self, images: Iterable[np.ndarray]) -> Iterator[bytes]:
+        s = self.settings
+        with cf.ThreadPoolExecutor(max_workers=self.workers) as pool:
+            pending: Optional[Tuple[list, list, int, bytes]] = None
+            for image in images:
+                image = np.asarray(image)
+                if image.ndim == 2:
+                    image = image[:, :, None]
+                h, w, channels = image.shape
+                head = container.head_write(channels, w, h, s)
+                grid = geometry.tile_grid(w, h, s.tiles_dimension)
+                # Device stage for this image (async dispatch under the
+                # hood); host stage for the previous image runs below
+                # while the TPU works.
+                streams = encode_tiles_device(image, s)
+                if pending is not None:
+                    yield _entropy_encode_image(*pending, pool)
+                pending = (streams, grid, channels, s, head)
+            if pending is not None:
+                yield _entropy_encode_image(*pending, pool)
+
+    def encode_batch(self, images: Iterable[np.ndarray]) -> List[bytes]:
+        return list(self.encode_iter(images))
+
+
+class PipelineDecoder:
+    """Decode a stream of blobs, parallelizing per-tile entropy decode
+    (independent blocks) and overlapping with the device inverse."""
+
+    def __init__(self, workers: int = 4):
+        self.workers = max(1, workers)
+
+    def decode_iter(self, blobs: Iterable[bytes]) -> Iterator[np.ndarray]:
+        from ako_tpu.decode import _tile_decoder
+        import jax.numpy as jnp
+
+        with cf.ThreadPoolExecutor(max_workers=self.workers) as pool:
+            for blob in blobs:
+                view = memoryview(blob)
+                channels, w, h, s = container.head_read(view)
+                grid = geometry.tile_grid(w, h, s.tiles_dimension)
+
+                # Sequential scan to find block boundaries (sizes are
+                # in each block head), then parallel entropy decode.
+                offsets = []
+                cursor = container.HEAD_SIZE
+                for t in grid:
+                    if s.wavelet != Wavelet.NONE:
+                        tds = geometry.tile_data_size(t.w, t.h) * channels
+                        spacing = geometry.planes_spacing(t.w, t.h)
+                    else:
+                        tds = t.w * t.h * channels * 2
+                        spacing = 0
+                    if s.compression != Compression.NONE:
+                        if cursor + 4 > len(blob):
+                            raise AkoError(Status.BROKEN_INPUT)
+                        bs = int.from_bytes(view[cursor : cursor + 4], "little")
+                        offsets.append((cursor, tds, spacing))
+                        cursor += 4 + bs
+                    else:
+                        offsets.append((cursor, tds, spacing))
+                        cursor += tds
+
+                def one(args):
+                    off, tds, spacing = args
+                    if s.compression != Compression.NONE:
+                        res = decompress_block(view[off:], tds, tds + spacing)
+                        if res is None:
+                            raise AkoError(Status.BROKEN_INPUT)
+                        return res[0]
+                    return np.frombuffer(
+                        view[off : off + tds], dtype=np.int16
+                    ).copy()
+
+                streams = list(pool.map(one, offsets))
+
+                image = np.empty((h, w, channels), dtype=np.uint8)
+                by_shape: dict = {}
+                for t in grid:
+                    by_shape.setdefault((t.w, t.h), []).append(t)
+                for (tw, th), tiles in by_shape.items():
+                    fn = _tile_decoder(tw, th, channels, s.wavelet, s.wrap, s.color)
+                    batch = np.stack([streams[t.index] for t in tiles], axis=0)
+                    pixels = np.asarray(fn(jnp.asarray(batch)))
+                    for i, t in enumerate(tiles):
+                        image[t.y : t.y + th, t.x : t.x + tw, :] = pixels[i]
+                yield image

@@ -1,0 +1,46 @@
+"""Streaming pipeline executor: outputs identical to one-shot
+encode/decode, in order, with overlap enabled."""
+
+import numpy as np
+
+import ako_tpu
+from ako_tpu import Settings
+from ako_tpu.runtime.executor import PipelineDecoder, PipelineEncoder
+
+
+def test_pipeline_encoder_matches_encode(rng):
+    images = [
+        rng.integers(0, 256, size=(40, 32, 3), dtype=np.uint8) for _ in range(4)
+    ]
+    s = Settings(quantization=16, tiles_dimension=16)
+    enc = PipelineEncoder(s, workers=3)
+    blobs = enc.encode_batch(images)
+    for img, blob in zip(images, blobs):
+        assert blob == ako_tpu.encode(img, s)
+
+
+def test_pipeline_decoder_matches_decode(rng):
+    images = [
+        rng.integers(0, 256, size=(40, 32, 3), dtype=np.uint8) for _ in range(3)
+    ]
+    s = Settings(quantization=16, tiles_dimension=16)
+    blobs = [ako_tpu.encode(img, s) for img in images]
+    dec = PipelineDecoder(workers=3)
+    outs = list(dec.decode_iter(blobs))
+    for blob, out in zip(blobs, outs):
+        ref, _, _ = ako_tpu.decode(blob)
+        np.testing.assert_array_equal(out, ref)
+
+
+def test_pipeline_uncompressed(rng):
+    from ako_tpu.core.settings import Compression
+
+    images = [rng.integers(0, 256, size=(24, 24, 1), dtype=np.uint8)]
+    s = Settings(
+        quantization=0, compression=Compression.NONE,
+        color=ako_tpu.Color.NONE,
+    )
+    blobs = PipelineEncoder(s).encode_batch(images)
+    outs = list(PipelineDecoder().decode_iter(blobs))
+    ref, _, _ = ako_tpu.decode(blobs[0])
+    np.testing.assert_array_equal(outs[0], ref)
