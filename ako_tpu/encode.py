@@ -171,27 +171,16 @@ def encode_tiles_device(
     return out
 
 
-def encode_tiles_blocks(
-    image: np.ndarray,
-    s: Settings,
-    events: Optional[EventsCallback] = None,
-    events_user=None,
-):
-    """Device-entropy encode: run format+lift+Kagari fused on device
-    and return the framed per-tile blocks (bytes) in tile order. Only
-    compressed bytes cross the device->host link. Tiles that land
-    within _CAPACITY_MARGIN of capacity fall back to the host coder
-    for exact boundary/failure semantics."""
+def dispatch_tiles_fused(image: np.ndarray, s: Settings):
+    """Phase 1 of device-entropy encode: enqueue the fused
+    format+lift+Kagari program for every tile-shape group. Returns an
+    opaque list of dispatch records; JAX dispatch is asynchronous, so
+    the TPU starts immediately while the host moves on."""
     image_h, image_w, channels = image.shape
     grid = geometry.tile_grid(image_w, image_h, s.tiles_dimension)
-    total = len(grid)
 
-    by_shape: dict[tuple[int, int], list[geometry.TilePlacement]] = {}
-    for t in grid:
-        by_shape.setdefault((t.w, t.h), []).append(t)
-
-    out: list[Optional[bytes]] = [None] * len(grid)
-    for (tw, th), tiles in by_shape.items():
+    dispatched = []
+    for (tw, th), tiles in _group_by_shape(grid).items():
         fn, capacity, budget = _tile_encoder_fused(
             tw,
             th,
@@ -204,19 +193,23 @@ def encode_tiles_blocks(
             s.gate,
             s.chroma_loss,
         )
-        t0 = tiles[0].index
-        _fire(events, t0, total, Event.FORMAT_START, events_user)
         batch = np.stack(
             [image[t.y : t.y + th, t.x : t.x + tw, :] for t in tiles], axis=0
         )
-        batch_dev = jnp.asarray(batch)
-        _fire(events, t0, total, Event.FORMAT_END, events_user)
-        _fire(events, t0, total, Event.WAVELET_START, events_user)
-        comp_bytes, totals_dev = fn(batch_dev)
-        totals = np.asarray(totals_dev)
-        _fire(events, t0, total, Event.WAVELET_END, events_user)
+        comp_bytes, totals_dev = fn(jnp.asarray(batch))
+        dispatched.append(
+            (tiles, batch, comp_bytes, totals_dev, capacity, budget, (tw, th))
+        )
+    return grid, channels, dispatched
 
-        _fire(events, t0, total, Event.COMPRESSION_START, events_user)
+
+def collect_tiles_blocks(s: Settings, channels: int, grid, dispatched):
+    """Phase 2: fetch compressed bytes (one bulk transfer per shape
+    group) and frame the per-tile blocks; near-capacity tiles fall back
+    to the host coder so the reference's exact bounds checks decide."""
+    out: list[Optional[bytes]] = [None] * len(grid)
+    for tiles, batch, comp_bytes, totals_dev, capacity, budget, (tw, th) in dispatched:
+        totals = np.asarray(totals_dev)
         fallback = [
             i
             for i, n in enumerate(totals)
@@ -224,7 +217,6 @@ def encode_tiles_blocks(
         ]
         ok = [i for i in range(len(tiles)) if i not in set(fallback)]
         if ok:
-            # one bulk transfer of the used byte range for all tiles
             m = int(max(totals[i] for i in ok))
             host_bytes = np.asarray(comp_bytes[:, :m])
             for i in ok:
@@ -232,9 +224,7 @@ def encode_tiles_blocks(
                 out[tiles[i].index] = (
                     BLOCK_HEAD.pack(n) + host_bytes[i, :n].tobytes()
                 )
-
         if fallback:
-            # near-capacity tiles: exact reference bounds checks decide
             sfn = _tile_encoder(
                 tw, th, channels, s.wavelet, s.wrap, s.color,
                 bool(s.discard_non_visible), s.quantization, s.gate,
@@ -242,12 +232,37 @@ def encode_tiles_blocks(
             )
             streams = np.asarray(sfn(jnp.asarray(batch[fallback])))
             for j, i in enumerate(fallback):
-                t = tiles[i]
                 block = compress_block(streams[j], capacity + BLOCK_HEAD.size)
                 if block is None:
                     raise AkoError(Status.ERROR, "incompressible tile")
-                out[t.index] = block
-        _fire(events, t0, total, Event.COMPRESSION_END, events_user)
+                out[tiles[i].index] = block
+    return out
+
+
+def _group_by_shape(grid):
+    by_shape: dict[tuple[int, int], list[geometry.TilePlacement]] = {}
+    for t in grid:
+        by_shape.setdefault((t.w, t.h), []).append(t)
+    return by_shape
+
+
+def encode_tiles_blocks(
+    image: np.ndarray,
+    s: Settings,
+    events: Optional[EventsCallback] = None,
+    events_user=None,
+):
+    """Device-entropy encode: fused format+lift+Kagari on device,
+    returning framed per-tile blocks in tile order. Only compressed
+    bytes cross the device->host link."""
+    grid = geometry.tile_grid(image.shape[1], image.shape[0], s.tiles_dimension)
+    total = len(grid)
+    _fire(events, 0, total, Event.WAVELET_START, events_user)
+    grid, channels, dispatched = dispatch_tiles_fused(image, s)
+    _fire(events, 0, total, Event.WAVELET_END, events_user)
+    _fire(events, 0, total, Event.COMPRESSION_START, events_user)
+    out = collect_tiles_blocks(s, channels, grid, dispatched)
+    _fire(events, 0, total, Event.COMPRESSION_END, events_user)
     return out
 
 

@@ -146,7 +146,10 @@ def pack_bits(vals, nbits, capacity_bytes: int):
     # (cap_words); callers choosing cap_words below the true worst case
     # must fall back when total_bits exceeds 32*cap_words.
     wq = jnp.arange(cap_words, dtype=jnp.int32)
-    upper = jnp.searchsorted(word, wq, side="right").astype(jnp.int32)
+    # method='sort' (one merge-sort of tokens+queries) is ~3.5x faster
+    # than the default binary-search lowering on TPU, where gathers are
+    # the bottleneck
+    upper = jnp.searchsorted(word, wq, side="right", method="sort").astype(jnp.int32)
     zero = jnp.zeros((1,), jnp.uint32)
 
     cs_hi = jnp.concatenate([zero, jnp.cumsum(hi, dtype=jnp.uint32)])

@@ -19,6 +19,8 @@ from typing import Iterable, Iterator, List, Optional, Tuple
 
 import numpy as np
 
+import jax
+
 from ako_tpu.core import container, geometry
 from ako_tpu.core.settings import (
     AkoError,
@@ -27,7 +29,12 @@ from ako_tpu.core.settings import (
     Status,
     Wavelet,
 )
-from ako_tpu.encode import checked_settings, encode_tiles_device
+from ako_tpu.encode import (
+    checked_settings,
+    collect_tiles_blocks,
+    dispatch_tiles_fused,
+    encode_tiles_device,
+)
 from ako_tpu.runtime.kagari import compress_block, decompress_block
 
 
@@ -72,6 +79,9 @@ class PipelineEncoder:
 
     def encode_iter(self, images: Iterable[np.ndarray]) -> Iterator[bytes]:
         s = self.settings
+        if s.compression == Compression.KAGARI and jax.default_backend() != "cpu":
+            yield from self._encode_iter_device_entropy(images)
+            return
         with cf.ThreadPoolExecutor(max_workers=self.workers) as pool:
             pending: Optional[Tuple[list, list, int, bytes]] = None
             for image in images:
@@ -90,6 +100,31 @@ class PipelineEncoder:
                 pending = (streams, grid, channels, s, head)
             if pending is not None:
                 yield _entropy_encode_image(*pending, pool)
+
+    def _encode_iter_device_entropy(
+        self, images: Iterable[np.ndarray]
+    ) -> Iterator[bytes]:
+        """Fused device path: dispatch image i+1's program before
+        collecting image i's compressed bytes, so the TPU computes
+        while the host drains the link."""
+        s = self.settings
+        pending = None
+        for image in images:
+            image = np.asarray(image)
+            if image.ndim == 2:
+                image = image[:, :, None]
+            h, w, channels = image.shape
+            head = container.head_write(channels, w, h, s)
+            grid, channels, dispatched = dispatch_tiles_fused(image, s)
+            if pending is not None:
+                p_head, p_s, p_ch, p_grid, p_disp = pending
+                yield p_head + b"".join(
+                    collect_tiles_blocks(p_s, p_ch, p_grid, p_disp)
+                )
+            pending = (head, s, channels, grid, dispatched)
+        if pending is not None:
+            p_head, p_s, p_ch, p_grid, p_disp = pending
+            yield p_head + b"".join(collect_tiles_blocks(p_s, p_ch, p_grid, p_disp))
 
     def encode_batch(self, images: Iterable[np.ndarray]) -> List[bytes]:
         return list(self.encode_iter(images))

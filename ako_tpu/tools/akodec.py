@@ -17,14 +17,14 @@ from ako_tpu.tools.options import OptionsManager, OptionError
 
 def build_options() -> OptionsManager:
     om = OptionsManager("akodec", "Ako TPU decoding tool")
-    om.add_string("-i", "", None, "Input/output", "input .ako filename")
-    om.add_string("-o", "", None, "Input/output", "output PNG filename")
-    om.add_int("-e", 7, 1, 10, "Encoding", "PNG effort 1-10")
-    om.add_bool("-b", "Extra", "benchmark (per-stage timings)")
-    om.add_bool("-ch", "Extra", "print output Adler32 checksum")
-    om.add_bool("-quiet", "Extra", "no output except errors")
-    om.add_bool("-version", "Extra", "print version and exit")
-    om.add_bool("-h", "Extra", "print this help")
+    om.add_string("-i", "", None, "Input/output", "input .ako filename", "--input")
+    om.add_string("-o", "", None, "Input/output", "output PNG filename", "--output")
+    om.add_int("-e", 7, 1, 10, "Encoding", "PNG effort 1-10", "--effort")
+    om.add_bool("-b", "Extra", "benchmark (per-stage timings)", "--benchmark")
+    om.add_bool("-ch", "Extra", "print output Adler32 checksum", "--checksum")
+    om.add_bool("-quiet", "Extra", "no output except errors", "--quiet")
+    om.add_bool("-v", "Extra", "print version and exit", "--version")
+    om.add_bool("-h", "Extra", "print this help", "--help")
     return om
 
 
@@ -55,7 +55,7 @@ def main(argv=None) -> int:
     if om["-h"].value:
         om.print_help()
         return 0
-    if om["-version"].value:
+    if om["-v"].value:
         print(f"akodec (ako_tpu) v{ako_tpu.__version__}")
         print(f"format version {ako_tpu.FORMAT_VERSION}")
         return 0

@@ -26,28 +26,32 @@ COLOR_ENUM = [Color.YCOCG, Color.SUBTRACT_G, Color.NONE]
 
 
 def build_options() -> OptionsManager:
+    """Flag surface of the reference encoder (tools/akoenc.cpp:337-447),
+    short and long spellings; -t (tiles dimension) is an extension the
+    reference library supports but its CLI never exposed."""
     om = OptionsManager("akoenc", "Ako TPU encoding tool")
-    om.add_string("-i", "", None, "Input/output", "input image filename")
-    om.add_string("-o", "", None, "Input/output", "output .ako filename")
-    om.add_int("-q", 16, 0, 65535, "Encoding", "quantization factor")
-    om.add_int("-g", 0, 0, 65535, "Encoding", "noise gate factor")
-    om.add_string("-w", "DD137", WAVELETS, "Encoding", "wavelet transformation")
-    om.add_string("-c", "YCOCG", COLORS, "Encoding", "color transformation")
-    om.add_string("-wr", "CLAMP", WRAPS, "Encoding", "wrap mode")
-    om.add_int("-t", 0, 0, 2**31, "Encoding", "tiles dimension (power of 2, or 0)")
-    om.add_int("-chroma-loss", 1, 0, 65535, "Encoding", "extra chroma quantization")
-    om.add_bool("-d", "Encoding", "discard non-visible pixel data")
-    om.add_bool("-b", "Extra", "benchmark (per-stage timings)")
-    om.add_bool("-ch", "Extra", "print input Adler32 checksum")
-    om.add_bool("-verbose", "Extra", "print encode settings")
-    om.add_bool("-quiet", "Extra", "no output except errors")
-    om.add_bool("-version", "Extra", "print version and exit")
-    om.add_bool("-h", "Extra", "print this help")
-    om.add_int("-dev-r", 0, 0, 65535, "Developer", "rate control: target ratio N:1")
+    om.add_string("-i", "", None, "Input/output", "input image filename", "--input")
+    om.add_string("-o", "", None, "Input/output", "output .ako filename", "--output")
+    om.add_int("-q", 16, 0, 65535, "Encoding", "quantization factor", "--quantization")
+    om.add_int("-g", 0, 0, 65535, "Encoding", "noise gate factor", "--noise-gate")
+    om.add_string("-w", "DD137", WAVELETS, "Encoding", "wavelet transformation", "--wavelet")
+    om.add_string("-c", "YCOCG", COLORS, "Encoding", "color transformation", "--color")
+    om.add_string("-wr", "CLAMP", WRAPS, "Encoding", "wrap mode", "--wrap")
+    om.add_int("-t", 0, 0, 2**31, "Encoding", "tiles dimension (power of 2, or 0)", "--tiles")
+    om.add_int("-chroma-loss", 1, 0, 65535, "Encoding", "extra chroma quantization", "--chroma-loss")
+    om.add_bool("-d", "Encoding", "discard non-visible pixel data", "--discard-non-visible")
+    om.add_bool("-b", "Extra", "benchmark (per-stage timings)", "--benchmark")
+    om.add_bool("-ch", "Extra", "print input Adler32 checksum", "--checksum")
+    om.add_bool("-verbose", "Extra", "print encode settings", "--verbose")
+    om.add_bool("-quiet", "Extra", "no output except errors", "--quiet")
+    om.add_bool("-v", "Extra", "print version and exit", "--version")
+    om.add_bool("-h", "Extra", "print this help", "--help")
+    om.add_int("-dev-r", 0, 0, 65535, "Developer", "rate control: target ratio N:1", "--dev-ratio")
     om.add_string(
-        "-dev-compression", "KAGARI", COMPRESSIONS, "Developer", "compression method"
+        "-dev-compression", "KAGARI", COMPRESSIONS, "Developer", "compression method",
+        "--dev-compression",
     )
-    om.add_bool("-dev-no-write", "Developer", "encode but do not write output")
+    om.add_bool("-dev-no-write", "Developer", "encode but do not write output", "--dev-no-write")
     return om
 
 
@@ -74,7 +78,7 @@ def main(argv=None) -> int:
     if om["-h"].value:
         om.print_help()
         return 0
-    if om["-version"].value:
+    if om["-v"].value:
         print(f"akoenc (ako_tpu) v{ako_tpu.__version__}")
         print(f"format version {ako_tpu.FORMAT_VERSION}")
         return 0

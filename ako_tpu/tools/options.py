@@ -25,6 +25,7 @@ class IntOption:
     maximum: int
     category: str
     help: str
+    long_name: str = ""
     value: int = 0
 
     def __post_init__(self):
@@ -50,6 +51,7 @@ class StringOption:
     allowed: Optional[Sequence[str]]
     category: str
     help: str
+    long_name: str = ""
     value: str = ""
 
     def __post_init__(self):
@@ -77,6 +79,7 @@ class BoolOption:
     name: str
     category: str
     help: str
+    long_name: str = ""
     value: bool = False
 
     def parse(self, raw: str) -> None:  # presence flag; no argument
@@ -95,17 +98,23 @@ class OptionsManager:
 
     def add(self, opt: Option) -> Option:
         self._by_name[opt.name] = opt
+        if opt.long_name:
+            self._by_name[opt.long_name] = opt
         self._order.append(opt)
         return opt
 
-    def add_int(self, name, default, minimum, maximum, category, help=""):
-        return self.add(IntOption(name, default, minimum, maximum, category, help))
+    def add_int(self, name, default, minimum, maximum, category, help="", long_name=""):
+        return self.add(
+            IntOption(name, default, minimum, maximum, category, help, long_name)
+        )
 
-    def add_string(self, name, default, allowed, category, help=""):
-        return self.add(StringOption(name, default, allowed, category, help))
+    def add_string(self, name, default, allowed, category, help="", long_name=""):
+        return self.add(
+            StringOption(name, default, allowed, category, help, long_name)
+        )
 
-    def add_bool(self, name, category, help=""):
-        return self.add(BoolOption(name, category, help))
+    def add_bool(self, name, category, help="", long_name=""):
+        return self.add(BoolOption(name, category, help, long_name))
 
     def parse_arguments(self, argv: Sequence[str]) -> None:
         i = 0
