@@ -122,3 +122,41 @@ def decode(
         _fire(events, t0, total, Event.FORMAT_END, events_user)
 
     return image, s, channels
+
+
+def decode_tiles_iter(blob: bytes):
+    """Streaming decode: yield (tile_placement, pixels uint8 (th, tw,
+    channels)) as each tile block is consumed, in tile row-major order.
+
+    The format is tile-streamable — every tile block is independently
+    decodable once the 16-byte header is read (the reference documents
+    this property; SURVEY.md §5 checkpoint/resume analog). A truncated
+    blob yields the tiles that fit and then raises AkoError."""
+    view = memoryview(blob)
+    channels, image_w, image_h, s = container.head_read(view)
+    cursor = container.HEAD_SIZE
+    grid = geometry.tile_grid(image_w, image_h, s.tiles_dimension)
+
+    for t in grid:
+        if s.wavelet != Wavelet.NONE:
+            tds = geometry.tile_data_size(t.w, t.h) * channels
+            spacing = geometry.planes_spacing(t.w, t.h)
+        else:
+            tds = t.w * t.h * channels * 2
+            spacing = 0
+        if s.compression != Compression.NONE:
+            from ako_tpu.runtime.kagari import decompress_block
+
+            res = decompress_block(view[cursor:], tds, tds + spacing)
+            if res is None:
+                raise AkoError(Status.BROKEN_INPUT)
+            values, consumed = res
+            cursor += consumed
+        else:
+            if cursor + tds > len(blob):
+                raise AkoError(Status.BROKEN_INPUT)
+            values = np.frombuffer(view[cursor : cursor + tds], dtype=np.int16).copy()
+            cursor += tds
+        fn = _tile_decoder(t.w, t.h, channels, s.wavelet, s.wrap, s.color)
+        pixels = np.asarray(fn(jnp.asarray(values[None])))[0]
+        yield t, pixels

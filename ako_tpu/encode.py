@@ -80,7 +80,7 @@ def _tile_encoder(
 
 
 @functools.lru_cache(maxsize=256)
-def _tile_encoder_fused(
+def _tile_encoder_fused_raw(
     tile_w: int,
     tile_h: int,
     channels: int,
@@ -92,10 +92,12 @@ def _tile_encoder_fused(
     gate: int,
     chroma_loss: int,
 ):
-    """Fully fused device program: (T, tile_h, tile_w, channels) u8
-    tiles -> (compressed bytes (T, capacity) u8, total_bytes (T,) i32).
-    The Kagari block is produced ON DEVICE (ops/kagari_device.py), so
-    only compressed bytes cross the host link."""
+    """Fully fused device program (unjitted): (T, tile_h, tile_w,
+    channels) u8 tiles -> (compressed bytes (T, budget) u8, total_bytes
+    (T,) i32). The Kagari block is produced ON DEVICE
+    (ops/kagari_device.py), so only compressed bytes cross the host
+    link. Returned raw so callers can jit with sharding annotations
+    (parallel/tiles.py)."""
     schedule = geometry.lift_schedule(tile_w, tile_h)
     qg = level_qg(schedule, channels, quantization, gate, chroma_loss)
     if wavelet != Wavelet.NONE:
@@ -110,15 +112,37 @@ def _tile_encoder_fused(
     budget = capacity // 2 if quantization > 0 else capacity * 7 // 8
     budget = max(budget, 4096)
 
-    def fn(tiles_u8):
+    def fwd(tiles_u8):
         planes = to_planar_yuv(tiles_u8, color, discard_non_visible)
         if wavelet == Wavelet.NONE:
-            stream = planes.reshape(planes.shape[:-3] + (-1,))
-        else:
-            stream = forward_tile(planes, schedule, wavelet, wrap, qg)
+            return planes.reshape(planes.shape[:-3] + (-1,))
+        return forward_tile(planes, schedule, wavelet, wrap, qg)
+
+    def pack(stream):
         return jax.vmap(lambda v: kagari_encode_device(v, capacity, budget))(stream)
 
-    return jax.jit(fn), capacity, budget
+    def fn(tiles_u8):
+        return pack(fwd(tiles_u8))
+
+    fn.fwd = fwd
+    fn.pack = pack
+    return fn, capacity, budget
+
+
+@functools.lru_cache(maxsize=256)
+def _tile_encoder_fused(*args):
+    """Two chained jitted programs (forward, then entropy pack) rather
+    than one: the single fused graph makes the XLA compile blow up from
+    ~25s to 10+ minutes, while the intermediate coefficient stream
+    stays on device either way."""
+    raw, capacity, budget = _tile_encoder_fused_raw(*args)
+    fwd_jit = jax.jit(raw.fwd)
+    pack_jit = jax.jit(raw.pack)
+
+    def chained(tiles_u8):
+        return pack_jit(fwd_jit(tiles_u8))
+
+    return chained, capacity, budget
 
 
 def _fire(events, tile_no, total, event, user):

@@ -135,6 +135,121 @@ def encode_tiles_sharded(
     return out
 
 
+@functools.lru_cache(maxsize=128)
+def _sharded_tile_encoder_fused(
+    mesh: Mesh,
+    axis_name: str,
+    tile_w: int,
+    tile_h: int,
+    channels: int,
+    wavelet: Wavelet,
+    wrap: Wrap,
+    color: Color,
+    discard_non_visible: bool,
+    quantization: int,
+    gate: int,
+    chroma_loss: int,
+):
+    """SPMD fused encode + bitstream gather: tiles sharded over the
+    mesh run format+lift+Kagari locally; the compressed byte planes and
+    sizes are then replicated (out_shardings) — XLA inserts the
+    all-gather over ICI, the TPU-native form of the reference's
+    sequential blob append (library/encode.c:170-182; SURVEY.md §2.4.3)."""
+    from ako_tpu.encode import _tile_encoder_fused_raw
+
+    fn, capacity, budget = _tile_encoder_fused_raw(
+        tile_w, tile_h, channels, wavelet, wrap, color,
+        discard_non_visible, quantization, gate, chroma_loss,
+    )
+    batch_spec = NamedSharding(mesh, P(axis_name))
+    replicated = NamedSharding(mesh, P())
+    # per-shard forward+pack, then the all-gather of compressed planes
+    # and sizes (out_shardings=replicated) — two chained programs, like
+    # the single-chip path
+    fwd_jit = jax.jit(fn.fwd, in_shardings=batch_spec, out_shardings=batch_spec)
+    pack_jit = jax.jit(
+        fn.pack,
+        in_shardings=batch_spec,
+        out_shardings=(replicated, replicated),
+    )
+
+    def chained(batch):
+        return pack_jit(fwd_jit(batch))
+
+    return chained, capacity, budget
+
+
+def encode_image_sharded(
+    image: np.ndarray,
+    s: Settings,
+    mesh: Mesh,
+    axis_name: str = "tiles",
+) -> bytes:
+    """Full multi-chip encode: tile grid sharded over the mesh, blocks
+    gathered via ICI, container assembled on host. Byte-identical to
+    the single-chip encode()."""
+    from ako_tpu.core import container
+    from ako_tpu.encode import _CAPACITY_MARGIN, _tile_encoder, checked_settings
+    from ako_tpu.runtime.kagari import BLOCK_HEAD, compress_block
+    from ako_tpu.core.settings import AkoError, Status
+
+    s = checked_settings(s)
+    image_h, image_w, channels = image.shape
+    head = container.head_write(channels, image_w, image_h, s)
+    grid = geometry.tile_grid(image_w, image_h, s.tiles_dimension)
+    n_shards = mesh.shape[axis_name]
+
+    by_shape: dict[tuple[int, int], list[geometry.TilePlacement]] = {}
+    for t in grid:
+        by_shape.setdefault((t.w, t.h), []).append(t)
+
+    blocks: list[Optional[bytes]] = [None] * len(grid)
+    for (tw, th), tiles in by_shape.items():
+        fn, capacity, budget = _sharded_tile_encoder_fused(
+            mesh, axis_name, tw, th, channels, s.wavelet, s.wrap, s.color,
+            bool(s.discard_non_visible), s.quantization, s.gate, s.chroma_loss,
+        )
+        batch = np.stack(
+            [image[t.y : t.y + th, t.x : t.x + tw, :] for t in tiles], axis=0
+        )
+        padded = pad_batch(len(tiles), n_shards)
+        if padded != len(tiles):
+            batch = np.concatenate(
+                [batch, np.zeros((padded - len(tiles),) + batch.shape[1:], np.uint8)]
+            )
+        comp_bytes, totals_dev = fn(jnp.asarray(batch))
+        totals = np.asarray(totals_dev)
+
+        fallback = []
+        for i, t in enumerate(tiles):
+            n = int(totals[i])
+            if n > budget or n >= capacity - _CAPACITY_MARGIN:
+                fallback.append(i)
+        ok = [i for i in range(len(tiles)) if i not in set(fallback)]
+        if ok:
+            m = int(max(totals[i] for i in ok))
+            host_bytes = np.asarray(comp_bytes[:, :m])
+            for i in ok:
+                n = int(totals[i])
+                blocks[tiles[i].index] = (
+                    BLOCK_HEAD.pack(n) + host_bytes[i, :n].tobytes()
+                )
+        if fallback:
+            sfn = _tile_encoder(
+                tw, th, channels, s.wavelet, s.wrap, s.color,
+                bool(s.discard_non_visible), s.quantization, s.gate,
+                s.chroma_loss,
+            )
+            streams = np.asarray(sfn(jnp.asarray(batch[fallback])))
+            for j, i in enumerate(fallback):
+                block = compress_block(streams[j], capacity + BLOCK_HEAD.size)
+                if block is None:
+                    raise AkoError(Status.ERROR, "incompressible tile")
+                blocks[tiles[i].index] = block
+
+    return head + b"".join(blocks)
+
+
 def decode_tiles_sharded(
     streams: list,
     grid: list,

@@ -106,3 +106,52 @@ class TestTileParallel:
         got = encode_tiles_sharded(img, s, mesh)
         for a, b in zip(ref, got):
             np.testing.assert_array_equal(a, b)
+
+
+@needs_8dev
+class TestBitstreamGather:
+    def test_sharded_encode_blob_identical(self, rng):
+        """Full multi-chip encode (tile shards + ICI bitstream gather)
+        must produce the byte-identical container."""
+        import ako_tpu
+        from ako_tpu.parallel.tiles import encode_image_sharded
+
+        mesh = make_mesh((8,), ("tiles",))
+        img = rng.integers(0, 256, size=(96, 128, 3), dtype=np.uint8)
+        s = Settings(quantization=16, tiles_dimension=32)
+        ref = ako_tpu.encode(img, s, device_entropy=True)
+        got = encode_image_sharded(img, s, mesh)
+        assert got == ref
+
+
+@needs_8dev
+class TestStreamingDecode:
+    def test_tiles_iter(self, rng):
+        import ako_tpu
+        from ako_tpu.decode import decode_tiles_iter
+
+        img = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+        s = Settings(quantization=16, tiles_dimension=32)
+        blob = ako_tpu.encode(img, s)
+        full, _, _ = ako_tpu.decode(blob)
+        out = np.zeros_like(full)
+        count = 0
+        for t, pixels in decode_tiles_iter(blob):
+            out[t.y : t.y + t.h, t.x : t.x + t.w, :] = pixels
+            count += 1
+        assert count == 4
+        np.testing.assert_array_equal(out, full)
+
+    def test_truncated_yields_then_raises(self, rng):
+        import ako_tpu
+        from ako_tpu.decode import decode_tiles_iter
+
+        img = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+        s = Settings(quantization=16, tiles_dimension=32)
+        blob = ako_tpu.encode(img, s)
+        it = decode_tiles_iter(blob[: len(blob) // 2])
+        got = 0
+        with pytest.raises(ako_tpu.AkoError):
+            for _t, _p in it:
+                got += 1
+        assert got >= 1  # early tiles stream out before the break
