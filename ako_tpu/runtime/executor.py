@@ -131,64 +131,85 @@ class PipelineEncoder:
 
 
 class PipelineDecoder:
-    """Decode a stream of blobs, parallelizing per-tile entropy decode
-    (independent blocks) and overlapping with the device inverse."""
+    """Decode a stream of blobs with cross-image overlap: while image
+    i's pixels drain over the link, image i+1's blocks are entropy
+    decoded on the host pool (independent tiles, ctypes releases the
+    GIL) and its device program is dispatched."""
 
     def __init__(self, workers: int = 4):
         self.workers = max(1, workers)
 
-    def decode_iter(self, blobs: Iterable[bytes]) -> Iterator[np.ndarray]:
+    def _entropy_stage(self, blob: bytes, pool):
+        view = memoryview(blob)
+        channels, w, h, s = container.head_read(view)
+        grid = geometry.tile_grid(w, h, s.tiles_dimension)
+
+        # Sequential scan to find block boundaries (sizes are in each
+        # block head), then parallel entropy decode.
+        offsets = []
+        cursor = container.HEAD_SIZE
+        for t in grid:
+            if s.wavelet != Wavelet.NONE:
+                tds = geometry.tile_data_size(t.w, t.h) * channels
+                spacing = geometry.planes_spacing(t.w, t.h)
+            else:
+                tds = t.w * t.h * channels * 2
+                spacing = 0
+            if s.compression != Compression.NONE:
+                if cursor + 4 > len(blob):
+                    raise AkoError(Status.BROKEN_INPUT)
+                bs = int.from_bytes(view[cursor : cursor + 4], "little")
+                offsets.append((cursor, tds, spacing))
+                cursor += 4 + bs
+            else:
+                offsets.append((cursor, tds, spacing))
+                cursor += tds
+
+        def one(args):
+            off, tds, spacing = args
+            if s.compression != Compression.NONE:
+                res = decompress_block(view[off:], tds, tds + spacing)
+                if res is None:
+                    raise AkoError(Status.BROKEN_INPUT)
+                return res[0]
+            return np.frombuffer(view[off : off + tds], dtype=np.int16).copy()
+
+        streams = list(pool.map(one, offsets))
+        return streams, grid, channels, s, (h, w)
+
+    def _dispatch_device(self, streams, grid, channels, s):
         from ako_tpu.decode import _tile_decoder
         import jax.numpy as jnp
 
+        by_shape: dict = {}
+        for t in grid:
+            by_shape.setdefault((t.w, t.h), []).append(t)
+        dispatched = []
+        for (tw, th), tiles in by_shape.items():
+            fn = _tile_decoder(tw, th, channels, s.wavelet, s.wrap, s.color)
+            batch = np.stack([streams[t.index] for t in tiles], axis=0)
+            pixels_dev = fn(jnp.asarray(batch))  # async dispatch
+            dispatched.append((tiles, th, tw, pixels_dev))
+        return dispatched
+
+    @staticmethod
+    def _collect(dispatched, shape):
+        h, w, channels = shape
+        image = np.empty((h, w, channels), dtype=np.uint8)
+        for tiles, th, tw, pixels_dev in dispatched:
+            pixels = np.asarray(pixels_dev)
+            for i, t in enumerate(tiles):
+                image[t.y : t.y + th, t.x : t.x + tw, :] = pixels[i]
+        return image
+
+    def decode_iter(self, blobs: Iterable[bytes]) -> Iterator[np.ndarray]:
         with cf.ThreadPoolExecutor(max_workers=self.workers) as pool:
+            pending = None
             for blob in blobs:
-                view = memoryview(blob)
-                channels, w, h, s = container.head_read(view)
-                grid = geometry.tile_grid(w, h, s.tiles_dimension)
-
-                # Sequential scan to find block boundaries (sizes are
-                # in each block head), then parallel entropy decode.
-                offsets = []
-                cursor = container.HEAD_SIZE
-                for t in grid:
-                    if s.wavelet != Wavelet.NONE:
-                        tds = geometry.tile_data_size(t.w, t.h) * channels
-                        spacing = geometry.planes_spacing(t.w, t.h)
-                    else:
-                        tds = t.w * t.h * channels * 2
-                        spacing = 0
-                    if s.compression != Compression.NONE:
-                        if cursor + 4 > len(blob):
-                            raise AkoError(Status.BROKEN_INPUT)
-                        bs = int.from_bytes(view[cursor : cursor + 4], "little")
-                        offsets.append((cursor, tds, spacing))
-                        cursor += 4 + bs
-                    else:
-                        offsets.append((cursor, tds, spacing))
-                        cursor += tds
-
-                def one(args):
-                    off, tds, spacing = args
-                    if s.compression != Compression.NONE:
-                        res = decompress_block(view[off:], tds, tds + spacing)
-                        if res is None:
-                            raise AkoError(Status.BROKEN_INPUT)
-                        return res[0]
-                    return np.frombuffer(
-                        view[off : off + tds], dtype=np.int16
-                    ).copy()
-
-                streams = list(pool.map(one, offsets))
-
-                image = np.empty((h, w, channels), dtype=np.uint8)
-                by_shape: dict = {}
-                for t in grid:
-                    by_shape.setdefault((t.w, t.h), []).append(t)
-                for (tw, th), tiles in by_shape.items():
-                    fn = _tile_decoder(tw, th, channels, s.wavelet, s.wrap, s.color)
-                    batch = np.stack([streams[t.index] for t in tiles], axis=0)
-                    pixels = np.asarray(fn(jnp.asarray(batch)))
-                    for i, t in enumerate(tiles):
-                        image[t.y : t.y + th, t.x : t.x + tw, :] = pixels[i]
-                yield image
+                streams, grid, channels, s, (h, w) = self._entropy_stage(blob, pool)
+                disp = self._dispatch_device(streams, grid, channels, s)
+                if pending is not None:
+                    yield self._collect(*pending)
+                pending = (disp, (h, w, channels))
+            if pending is not None:
+                yield self._collect(*pending)
