@@ -55,6 +55,100 @@ def _tile_decoder(
     return jax.jit(fn)
 
 
+def _tail_layout(schedule, channels: int, n_levels: int = 2):
+    """Serialized-stream layout of the largest `n_levels` levels (the
+    stream's tail): (split_offset, [(head_count, body_len) per level]).
+    Level chunks are [q-head][C][B][D] per channel (ops/lifting.py)."""
+    n_levels = min(n_levels, len(schedule.levels))
+    total = schedule.coeff_count(channels)
+    tail_levels = schedule.levels[:n_levels]  # encode order: largest first
+    tail_size = sum(
+        channels * (1 + 3 * lvl.target_w * lvl.target_h) for lvl in tail_levels
+    )
+    # stream order within the tail: smallest of the pair first
+    stream_order = list(reversed(tail_levels))
+    return total - tail_size, stream_order
+
+
+@functools.lru_cache(maxsize=256)
+def _tile_decoder_split(
+    tile_w: int,
+    tile_h: int,
+    channels: int,
+    wavelet: Wavelet,
+    wrap: Wrap,
+    color: Color,
+):
+    """Upload-lean decoder: the largest levels' highpass bodies arrive
+    as int8 (they are small after quantization), q-heads and the rest
+    as int16 — roughly halving the dominant host->device transfer.
+    Exactness is unaffected: the host checks |body| <= 127 first and
+    falls back to the int16 program otherwise (decode())."""
+    schedule = geometry.lift_schedule(tile_w, tile_h)
+    split, stream_order = _tail_layout(schedule, channels)
+
+    def fn(head16, bodies8, heads16):
+        parts = [head16]
+        off8 = 0
+        hidx = 0
+        for lvl in stream_order:
+            body_len = 3 * lvl.target_w * lvl.target_h
+            for _c in range(channels):
+                parts.append(heads16[..., hidx : hidx + 1])
+                hidx += 1
+                parts.append(
+                    bodies8[..., off8 : off8 + body_len].astype(jnp.int16)
+                )
+                off8 += body_len
+        coeffs = jnp.concatenate(parts, axis=-1)
+        planes = inverse_tile(coeffs, schedule, wavelet, wrap, channels)
+        return to_interleaved_u8(planes, color, channels)
+
+    return jax.jit(fn), split, stream_order
+
+
+def split_streams_for_upload(streams_batch: np.ndarray, schedule, channels: int):
+    """Host-side split of a (T, n) int16 stream batch into
+    (head16, bodies8, heads16) for _tile_decoder_split, or None when
+    any tail body value exceeds int8 range (caller falls back)."""
+    split, stream_order = _tail_layout(schedule, channels)
+    head16 = streams_batch[:, :split]
+    tail = streams_batch[:, split:]
+    bodies = []
+    heads = []
+    off = 0
+    for lvl in stream_order:
+        body_len = 3 * lvl.target_w * lvl.target_h
+        for _c in range(channels):
+            heads.append(tail[:, off : off + 1])
+            off += 1
+            bodies.append(tail[:, off : off + body_len])
+            off += body_len
+    bodies_cat = np.concatenate(bodies, axis=1)
+    if np.abs(bodies_cat, dtype=None).max(initial=0) > 127:
+        return None
+    return (
+        head16,
+        bodies_cat.astype(np.int8),
+        np.concatenate(heads, axis=1),
+    )
+
+
+def _run_tile_decoder(streams_batch: np.ndarray, tw, th, channels, s):
+    """Pick the upload-lean split program when the tail fits int8,
+    else the plain int16 program; returns the device array (async)."""
+    schedule = geometry.lift_schedule(tw, th)
+    if s.wavelet != Wavelet.NONE and len(schedule.levels) >= 2:
+        parts = split_streams_for_upload(streams_batch, schedule, channels)
+        if parts is not None:
+            fn, _, _ = _tile_decoder_split(tw, th, channels, s.wavelet, s.wrap, s.color)
+            return fn(
+                jnp.asarray(parts[0]), jnp.asarray(parts[1]), jnp.asarray(parts[2])
+            )
+    fn = _tile_decoder(tw, th, channels, s.wavelet, s.wrap, s.color)
+    return fn(jnp.asarray(streams_batch))
+
+
 def _fire(events, tile_no, total, event, user):
     if events is not None:
         events(tile_no, total, event, user)
@@ -110,11 +204,10 @@ def decode(
         by_shape.setdefault((t.w, t.h), []).append(t)
 
     for (tw, th), tiles in by_shape.items():
-        fn = _tile_decoder(tw, th, channels, s.wavelet, s.wrap, s.color)
         t0 = tiles[0].index
         _fire(events, t0, total, Event.WAVELET_START, events_user)
         batch = np.stack([streams[t.index] for t in tiles], axis=0)
-        pixels = np.asarray(fn(jnp.asarray(batch)))
+        pixels = np.asarray(_run_tile_decoder(batch, tw, th, channels, s))
         _fire(events, t0, total, Event.WAVELET_END, events_user)
         _fire(events, t0, total, Event.FORMAT_START, events_user)
         for i, t in enumerate(tiles):

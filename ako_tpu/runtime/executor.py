@@ -178,17 +178,15 @@ class PipelineDecoder:
         return streams, grid, channels, s, (h, w)
 
     def _dispatch_device(self, streams, grid, channels, s):
-        from ako_tpu.decode import _tile_decoder
-        import jax.numpy as jnp
+        from ako_tpu.decode import _run_tile_decoder
 
         by_shape: dict = {}
         for t in grid:
             by_shape.setdefault((t.w, t.h), []).append(t)
         dispatched = []
         for (tw, th), tiles in by_shape.items():
-            fn = _tile_decoder(tw, th, channels, s.wavelet, s.wrap, s.color)
             batch = np.stack([streams[t.index] for t in tiles], axis=0)
-            pixels_dev = fn(jnp.asarray(batch))  # async dispatch
+            pixels_dev = _run_tile_decoder(batch, tw, th, channels, s)
             dispatched.append((tiles, th, tw, pixels_dev))
         return dispatched
 

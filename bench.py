@@ -28,7 +28,7 @@ W, H, CH = 1024, 1280, 4
 MEGAPIXELS = W * H / 1e6
 STREAM_N = 8
 # 128x128 tiles: the codec's natural TPU mapping (one compiled program,
-# tiles batched, independent entropy blocks); 128 keeps the fused
+# tiles batched, independent entropy blocks); 128 keeps the per-shape
 # program's cold compile through the remote compiler tractable. The
 # same settings go to the reference, so blobs stay byte-comparable.
 TILES = 128
