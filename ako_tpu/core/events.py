@@ -20,12 +20,16 @@ from typing import Callable, Optional
 
 
 class Event(enum.IntEnum):
-    FORMAT_START = 0
-    FORMAT_END = 1
-    WAVELET_START = 2
-    WAVELET_END = 3
-    COMPRESSION_START = 4
-    COMPRESSION_END = 5
+    """Values match the reference enum exactly (library/ako.h:75-84,
+    NONE = 0 first)."""
+
+    NONE = 0
+    FORMAT_START = 1
+    FORMAT_END = 2
+    WAVELET_START = 3
+    WAVELET_END = 4
+    COMPRESSION_START = 5
+    COMPRESSION_END = 6
 
 
 EventsCallback = Callable[[int, int, Event, object], None]

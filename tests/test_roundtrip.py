@@ -190,3 +190,39 @@ class TestHeaderParity:
             ako_tpu.decode(b"Bko" + blob[3:])  # bad magic
         with pytest.raises(ako_tpu.AkoError):
             ako_tpu.decode(blob[: len(blob) // 2])  # truncated payload
+
+
+class TestDeviceEntropyPath:
+    """The fused device-entropy encoder must emit byte-identical blobs
+    on every path the host coder covers (exercised explicitly since
+    the CPU test default routes to the host coder)."""
+
+    @pytest.mark.parametrize("q", [0, 16])
+    def test_parity_with_host_path(self, rng, q):
+        img = _img(rng, 48, 40, 3)
+        s = Settings(quantization=q, tiles_dimension=16)
+        a = ako_tpu.encode(img, s, device_entropy=False)
+        b = ako_tpu.encode(img, s, device_entropy=True)
+        assert a == b
+
+    def test_odd_dims(self, rng):
+        img = _img(rng, 37, 29, 3)
+        s = Settings(quantization=16)
+        assert ako_tpu.encode(img, s, device_entropy=True) == ako_tpu.encode(
+            img, s, device_entropy=False
+        )
+
+    def test_wavelet_none(self, rng):
+        img = _img(rng, 24, 24, 3)
+        s = Settings(wavelet=Wavelet.NONE, quantization=0)
+        a = ako_tpu.encode(img, s, device_entropy=True)
+        out, _, _ = ako_tpu.decode(a)
+        np.testing.assert_array_equal(out, img)
+
+    def test_flat_image_long_runs(self, rng):
+        # constant tiles: maximal RLE runs through the device coder
+        img = np.full((64, 64, 3), 77, np.uint8)
+        s = Settings(quantization=16)
+        a = ako_tpu.encode(img, s, device_entropy=True)
+        b = ako_tpu.encode(img, s, device_entropy=False)
+        assert a == b
