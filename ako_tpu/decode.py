@@ -149,6 +149,19 @@ def _run_tile_decoder(streams_batch: np.ndarray, tw, th, channels, s):
     return fn(jnp.asarray(streams_batch))
 
 
+#: Upper bound on decoded image bytes (w*h*channels). The reference
+#: relies on malloc failing for absurd headers (status
+#: NO_ENOUGH_MEMORY, encode.c:94-98); a compiled-program pipeline must
+#: reject them before attempting allocation/compilation. Override via
+#: ako_tpu.decode.MAX_IMAGE_BYTES for genuinely huge images.
+MAX_IMAGE_BYTES = 1 << 31
+
+
+def _check_decode_budget(image_w: int, image_h: int, channels: int) -> None:
+    if image_w * image_h * channels > MAX_IMAGE_BYTES:
+        raise AkoError(Status.NO_ENOUGH_MEMORY, "image exceeds MAX_IMAGE_BYTES")
+
+
 def _fire(events, tile_no, total, event, user):
     if events is not None:
         events(tile_no, total, event, user)
@@ -165,6 +178,7 @@ def decode(
         raise AkoError(Status.INVALID_INPUT)
     view = memoryview(blob)
     channels, image_w, image_h, s = container.head_read(view)
+    _check_decode_budget(image_w, image_h, channels)
     cursor = container.HEAD_SIZE
 
     grid = geometry.tile_grid(image_w, image_h, s.tiles_dimension)

@@ -31,7 +31,6 @@ from ako_tpu.core.settings import Wavelet, Wrap
 from ako_tpu.ops.lifting import _quantize_gate
 from ako_tpu.ops.wavelets import (
     _interleave,
-    _sl,
     effective_wavelet,
     lift1d,
     lift2d,

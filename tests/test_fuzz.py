@@ -1,0 +1,120 @@
+"""Corruption fuzzing: for randomly corrupted/truncated blobs the
+decoder must either fail cleanly (AkoError) or produce EXACTLY what the
+reference decoder produces — never crash, never diverge. This closes a
+coverage gap the reference's own suite leaves open (SURVEY.md §4:
+'truncated/corrupt input' untested upstream)."""
+
+import numpy as np
+import pytest
+
+import ako_tpu
+from ako_tpu import Settings
+from ako_tpu.core.settings import AkoError
+from tests import oracle
+
+pytestmark = pytest.mark.skipif(
+    not oracle.available(), reason="reference sources not available"
+)
+
+
+def both_decode(blob: bytes):
+    """(ours, theirs): each is an image array or None-on-failure."""
+    try:
+        ours = ako_tpu.decode(blob)[0]
+    except AkoError:
+        ours = None
+    except Exception as e:  # anything else is a bug
+        raise AssertionError(f"non-AkoError failure: {type(e).__name__}: {e}")
+    ref = oracle.ref_decode(blob)
+    theirs = None if ref is None else ref[0]
+    return ours, theirs
+
+
+def _sane_dims(blob: bytes) -> bool:
+    """Skip corruptions that change the header to pathological sizes:
+    the reference 'handles' them by letting malloc fail, we reject via
+    MAX_IMAGE_BYTES — behavior beyond the parity contract, and decoding
+    giant shapes would hang the test either way."""
+    if len(blob) < 16:
+        return True
+    w = int.from_bytes(blob[4:8], "little")
+    h = int.from_bytes(blob[8:12], "little")
+    return w * h <= 1 << 20
+
+
+def assert_agree(blob: bytes, note: str, truncated: bool = False):
+    if not _sane_dims(blob):
+        return
+    ours, theirs = both_decode(blob)
+    if (ours is None) != (theirs is None):
+        if truncated and ours is None and theirs is not None:
+            # Known reference defect: akoDecompress passes block_size as
+            # the Kagari input bound (compression.c:63-64) without
+            # checking it against the remaining blob, so the decoder's
+            # eager refill reads past a truncated buffer into heap
+            # memory and can "succeed". We bound reads to the real data
+            # and fail cleanly — the safe behavior wins.
+            return
+        raise AssertionError(
+            f"{note}: divergent failure (ours={'fail' if ours is None else 'ok'}, "
+            f"ref={'fail' if theirs is None else 'ok'})"
+        )
+    if ours is not None:
+        np.testing.assert_array_equal(ours, theirs, err_msg=note)
+
+
+@pytest.fixture(scope="module")
+def base_blob():
+    rng = np.random.default_rng(77)
+    img = rng.integers(0, 256, size=(48, 40, 3), dtype=np.uint8)
+    return ako_tpu.encode(img, Settings(quantization=16, tiles_dimension=16))
+
+
+class TestTruncation:
+    def test_every_coarse_prefix(self, base_blob):
+        for n in range(0, len(base_blob), 97):
+            assert_agree(base_blob[:n], f"prefix len {n}", truncated=True)
+
+    def test_boundary_prefixes(self, base_blob):
+        for n in (15, 16, 17, 19, 20, 21, len(base_blob) - 1):
+            assert_agree(base_blob[:n], f"prefix len {n}", truncated=True)
+
+
+class TestBitFlips:
+    def test_header_flips(self, base_blob, rng):
+        # magic/version bytes and the flags word; low dimension bytes
+        # only (high dim bits -> pathological sizes, skipped by policy)
+        for pos in (0, 1, 2, 3, 4, 8, 12, 13, 14, 15):
+            for bit in (0, 3, 7):
+                b = bytearray(base_blob)
+                b[pos] ^= 1 << bit
+                assert_agree(bytes(b), f"flip header byte {pos} bit {bit}")
+
+    def test_payload_flips(self, base_blob, rng):
+        for _ in range(40):
+            pos = int(rng.integers(16, len(base_blob)))
+            bit = int(rng.integers(0, 8))
+            b = bytearray(base_blob)
+            b[pos] ^= 1 << bit
+            assert_agree(bytes(b), f"flip payload byte {pos} bit {bit}")
+
+    def test_block_size_corruption(self, base_blob):
+        # the 4-byte block head right after the container header
+        for val in (0, 1, 0xFFFF, 0x7FFFFFFF):
+            b = bytearray(base_blob)
+            b[16:20] = int(val).to_bytes(4, "little")
+            assert_agree(bytes(b), f"block size {val}")
+
+
+class TestGarbage:
+    def test_random_blobs(self, rng):
+        for n in (0, 1, 15, 16, 64, 1000):
+            blob = bytes(rng.integers(0, 256, size=n, dtype=np.uint8))
+            ours, _ = both_decode(blob)  # must not crash; parity checked
+            assert_agree(blob, f"garbage len {n}")
+
+    def test_valid_header_garbage_payload(self, base_blob, rng):
+        blob = base_blob[:16] + bytes(
+            rng.integers(0, 256, size=len(base_blob) - 16, dtype=np.uint8)
+        )
+        assert_agree(blob, "garbage payload")
