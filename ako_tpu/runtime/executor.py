@@ -104,27 +104,31 @@ class PipelineEncoder:
     def _encode_iter_device_entropy(
         self, images: Iterable[np.ndarray]
     ) -> Iterator[bytes]:
-        """Fused device path: dispatch image i+1's program before
-        collecting image i's compressed bytes, so the TPU computes
-        while the host drains the link."""
+        """Fused device path: image i's compressed-byte fetch runs on
+        an IO thread while the main thread uploads and dispatches image
+        i+1 — uplink, downlink and TPU compute all overlap."""
         s = self.settings
-        pending = None
-        for image in images:
-            image = np.asarray(image)
-            if image.ndim == 2:
-                image = image[:, :, None]
-            h, w, channels = image.shape
-            head = container.head_write(channels, w, h, s)
-            grid, channels, dispatched = dispatch_tiles_fused(image, s)
-            if pending is not None:
-                p_head, p_s, p_ch, p_grid, p_disp = pending
-                yield p_head + b"".join(
-                    collect_tiles_blocks(p_s, p_ch, p_grid, p_disp)
-                )
-            pending = (head, s, channels, grid, dispatched)
-        if pending is not None:
-            p_head, p_s, p_ch, p_grid, p_disp = pending
-            yield p_head + b"".join(collect_tiles_blocks(p_s, p_ch, p_grid, p_disp))
+
+        def collect(args):
+            p_head, p_s, p_ch, p_grid, p_disp = args
+            return p_head + b"".join(
+                collect_tiles_blocks(p_s, p_ch, p_grid, p_disp)
+            )
+
+        with cf.ThreadPoolExecutor(max_workers=1) as io:
+            fut = None
+            for image in images:
+                image = np.asarray(image)
+                if image.ndim == 2:
+                    image = image[:, :, None]
+                h, w, channels = image.shape
+                head = container.head_write(channels, w, h, s)
+                grid, channels, dispatched = dispatch_tiles_fused(image, s)
+                if fut is not None:
+                    yield fut.result()
+                fut = io.submit(collect, (head, s, channels, grid, dispatched))
+            if fut is not None:
+                yield fut.result()
 
     def encode_batch(self, images: Iterable[np.ndarray]) -> List[bytes]:
         return list(self.encode_iter(images))
@@ -201,13 +205,16 @@ class PipelineDecoder:
         return image
 
     def decode_iter(self, blobs: Iterable[bytes]) -> Iterator[np.ndarray]:
-        with cf.ThreadPoolExecutor(max_workers=self.workers) as pool:
-            pending = None
+        with cf.ThreadPoolExecutor(max_workers=self.workers) as pool, \
+                cf.ThreadPoolExecutor(max_workers=1) as io:
+            fut = None
             for blob in blobs:
                 streams, grid, channels, s, (h, w) = self._entropy_stage(blob, pool)
                 disp = self._dispatch_device(streams, grid, channels, s)
-                if pending is not None:
-                    yield self._collect(*pending)
-                pending = (disp, (h, w, channels))
-            if pending is not None:
-                yield self._collect(*pending)
+                if fut is not None:
+                    yield fut.result()
+                # pixel drain of this image rides the IO thread while
+                # the next blob's entropy decode + upload proceed
+                fut = io.submit(self._collect, disp, (h, w, channels))
+            if fut is not None:
+                yield fut.result()
