@@ -25,6 +25,7 @@ from ako_tpu.core.settings import (
     Status,
     AkoError,
     default_settings,
+    status_string,
     MAX_CHANNELS,
     MIN_TILES_DIMENSION,
     MAX_TILES_DIMENSION,
@@ -47,6 +48,7 @@ __all__ = [
     "Status",
     "AkoError",
     "default_settings",
+    "status_string",
     "encode",
     "decode",
     "MAX_CHANNELS",

@@ -136,17 +136,22 @@ def split_streams_for_upload(streams_batch: np.ndarray, schedule, channels: int)
 
 def _run_tile_decoder(streams_batch: np.ndarray, tw, th, channels, s):
     """Pick the upload-lean split program when the tail fits int8,
-    else the plain int16 program; returns the device array (async)."""
+    else the plain int16 program; returns the device array (async).
+    Bulk uploads ride the chunked-parallel transfer path."""
+    from ako_tpu.runtime.transfer import device_put_parallel
+
     schedule = geometry.lift_schedule(tw, th)
     if s.wavelet != Wavelet.NONE and len(schedule.levels) >= 2:
         parts = split_streams_for_upload(streams_batch, schedule, channels)
         if parts is not None:
             fn, _, _ = _tile_decoder_split(tw, th, channels, s.wavelet, s.wrap, s.color)
             return fn(
-                jnp.asarray(parts[0]), jnp.asarray(parts[1]), jnp.asarray(parts[2])
+                device_put_parallel(parts[0]),
+                device_put_parallel(parts[1]),
+                jnp.asarray(parts[2]),
             )
     fn = _tile_decoder(tw, th, channels, s.wavelet, s.wrap, s.color)
-    return fn(jnp.asarray(streams_batch))
+    return fn(device_put_parallel(streams_batch))
 
 
 #: Upper bound on decoded image bytes (w*h*channels). The reference
@@ -217,11 +222,13 @@ def decode(
     for t in grid:
         by_shape.setdefault((t.w, t.h), []).append(t)
 
+    from ako_tpu.runtime.transfer import device_get_parallel
+
     for (tw, th), tiles in by_shape.items():
         t0 = tiles[0].index
         _fire(events, t0, total, Event.WAVELET_START, events_user)
         batch = np.stack([streams[t.index] for t in tiles], axis=0)
-        pixels = np.asarray(_run_tile_decoder(batch, tw, th, channels, s))
+        pixels = device_get_parallel(_run_tile_decoder(batch, tw, th, channels, s))
         _fire(events, t0, total, Event.WAVELET_END, events_user)
         _fire(events, t0, total, Event.FORMAT_START, events_user)
         for i, t in enumerate(tiles):

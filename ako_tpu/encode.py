@@ -223,7 +223,9 @@ def dispatch_tiles_fused(image: np.ndarray, s: Settings):
         batch = np.stack(
             [image[t.y : t.y + th, t.x : t.x + tw, :] for t in tiles], axis=0
         )
-        comp_bytes, totals_dev = fn(jnp.asarray(batch))
+        from ako_tpu.runtime.transfer import device_put_parallel
+
+        comp_bytes, totals_dev = fn(device_put_parallel(batch))
         dispatched.append(
             (tiles, batch, comp_bytes, totals_dev, capacity, budget, (tw, th))
         )
@@ -244,8 +246,10 @@ def collect_tiles_blocks(s: Settings, channels: int, grid, dispatched):
         ]
         ok = [i for i in range(len(tiles)) if i not in set(fallback)]
         if ok:
+            from ako_tpu.runtime.transfer import device_get_parallel
+
             m = int(max(totals[i] for i in ok))
-            host_bytes = np.asarray(comp_bytes[:, :m])
+            host_bytes = device_get_parallel(comp_bytes[:, :m])
             for i in ok:
                 n = int(totals[i])
                 out[tiles[i].index] = (

@@ -250,6 +250,47 @@ def encode_image_sharded(
     return head + b"".join(blocks)
 
 
+def decode_image_sharded(
+    blob: bytes,
+    mesh: Mesh,
+    axis_name: str = "tiles",
+):
+    """Full multi-chip decode: host entropy decode (independent
+    blocks), tile batch sharded over the mesh for unlift+format, pixel
+    planes gathered. Bit-identical to the single-chip decode()."""
+    from ako_tpu.core import container
+    from ako_tpu.core.settings import AkoError, Status
+    from ako_tpu.runtime.kagari import decompress_block
+
+    view = memoryview(blob)
+    channels, image_w, image_h, s = container.head_read(view)
+    cursor = container.HEAD_SIZE
+    grid = geometry.tile_grid(image_w, image_h, s.tiles_dimension)
+
+    streams = []
+    for t in grid:
+        if s.wavelet != Wavelet.NONE:
+            tds = geometry.tile_data_size(t.w, t.h) * channels
+            spacing = geometry.planes_spacing(t.w, t.h)
+        else:
+            tds = t.w * t.h * channels * 2
+            spacing = 0
+        if s.compression.value != 2:  # != NONE
+            res = decompress_block(view[cursor:], tds, tds + spacing)
+            if res is None:
+                raise AkoError(Status.BROKEN_INPUT)
+            values, consumed = res
+            cursor += consumed
+        else:
+            values = np.frombuffer(view[cursor : cursor + tds], np.int16).copy()
+            cursor += tds
+        streams.append(values)
+
+    image = np.empty((image_h, image_w, channels), dtype=np.uint8)
+    decode_tiles_sharded(streams, grid, image, s, channels, mesh, axis_name)
+    return image, s, channels
+
+
 def decode_tiles_sharded(
     streams: list,
     grid: list,

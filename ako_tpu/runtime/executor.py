@@ -196,10 +196,12 @@ class PipelineDecoder:
 
     @staticmethod
     def _collect(dispatched, shape):
+        from ako_tpu.runtime.transfer import device_get_parallel
+
         h, w, channels = shape
         image = np.empty((h, w, channels), dtype=np.uint8)
         for tiles, th, tw, pixels_dev in dispatched:
-            pixels = np.asarray(pixels_dev)
+            pixels = device_get_parallel(pixels_dev)
             for i, t in enumerate(tiles):
                 image[t.y : t.y + th, t.x : t.x + tw, :] = pixels[i]
         return image

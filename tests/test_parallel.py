@@ -155,3 +155,19 @@ class TestStreamingDecode:
             for _t, _p in it:
                 got += 1
         assert got >= 1  # early tiles stream out before the break
+
+
+@needs_8dev
+class TestShardedDecode:
+    def test_decode_image_sharded(self, rng):
+        import ako_tpu
+        from ako_tpu.parallel.tiles import decode_image_sharded
+
+        mesh = make_mesh((8,), ("tiles",))
+        img = rng.integers(0, 256, size=(96, 128, 3), dtype=np.uint8)
+        s = Settings(quantization=16, tiles_dimension=32)
+        blob = ako_tpu.encode(img, s)
+        ref, _, _ = ako_tpu.decode(blob)
+        got, s2, ch = decode_image_sharded(blob, mesh)
+        assert ch == 3
+        np.testing.assert_array_equal(got, ref)
