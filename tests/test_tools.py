@@ -110,3 +110,42 @@ class TestRateControl:
         assert q == 0
         out, _, _ = ako_tpu.decode(blob)
         np.testing.assert_array_equal(out, img)
+
+
+class TestRateControlVsReferenceBinary:
+    """encode_with_ratio must reproduce the reference akoenc's
+    --dev-ratio output byte-for-byte (same search, same probes)."""
+
+    @pytest.mark.parametrize("ratio", [4, 8])
+    def test_dev_ratio_parity(self, rng, tmp_path, ratio):
+        import os
+        import subprocess
+
+        akoenc = os.path.join(os.path.dirname(__file__), "..", ".refbuild", "akoenc")
+        if not os.path.exists(akoenc):
+            pytest.skip("reference akoenc binary not built")
+        from PIL import Image
+
+        from ako_tpu.tools.rate import encode_with_ratio
+
+        # structured content so the ratio is reachable
+        y, x = np.mgrid[0:64, 0:64].astype(np.float32)
+        img = np.clip(
+            np.stack(
+                [120 + 90 * np.sin(x / 9), 120 + 80 * np.cos(y / 7), 128 + x - y],
+                -1,
+            ),
+            0,
+            255,
+        ).astype(np.uint8)
+        png = str(tmp_path / "in.png")
+        out = str(tmp_path / "ref.ako")
+        Image.fromarray(img).save(png)
+        subprocess.run(
+            [akoenc, "-i", png, "-o", out, "-dev-r", str(ratio), "-quiet"],
+            check=True,
+            capture_output=True,
+        )
+        ref = open(out, "rb").read()
+        ours, _q = encode_with_ratio(img, ako_tpu.Settings(), ratio)
+        assert ours == ref
