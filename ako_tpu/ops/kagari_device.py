@@ -101,6 +101,52 @@ def _gamma_bits(u):
     return (2 * b + 1).astype(jnp.int32)
 
 
+_RANK_CHUNK = 128
+
+
+def _rank_chunked(word, queries):
+    """upper[q] = #(word <= q) for a sorted `word` whose consecutive
+    deltas are 0 or 1 (gamma codes are < 32 bits, so the word index
+    advances at most one per token).
+
+    A full sort/searchsorted over all tokens is the TPU bottleneck;
+    instead tokens are chunked _RANK_CHUNK-wide. Chunk bases (word of the
+    chunk's first token) are a tiny sorted table: a chunk's tokens
+    never precede its base and never exceed the next base, so
+    upper[q] = CHUNK * j + #(chunk_j's words <= q) with j the last chunk
+    whose base <= q. That needs only a log-size binary search over the
+    base table, one _RANK_CHUNK-wide row gather per query, and a compare-sum —
+    no large sort, no big gathers."""
+    n = word.shape[0]
+    pad = (-n) % _RANK_CHUNK
+    wpad = jnp.pad(word, (0, pad), constant_values=jnp.iinfo(jnp.int32).max)
+    rows = wpad.reshape(-1, _RANK_CHUNK)
+    bases = rows[:, 0]
+    n_chunks = rows.shape[0]
+
+    # binary search for j(q)+1 = #(bases <= q) over the small table;
+    # the interval [lo, hi] starts n_chunks+1 wide, so the step count
+    # must cover log2 of that
+    lo = jnp.zeros(queries.shape, jnp.int32)
+    hi = jnp.full(queries.shape, n_chunks, jnp.int32)
+    steps = max(1, (n_chunks + 1).bit_length())
+    for _ in range(steps):
+        mid = (lo + hi) >> 1
+        # once lo == hi the loop keeps running fixed steps; the mid
+        # index then equals hi and (clamped) out-of-bounds gathers
+        # would corrupt the result — mask them out
+        go_right = (mid < n_chunks) & (bases[jnp.minimum(mid, n_chunks - 1)] <= queries)
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    j = lo - 1  # last chunk with base <= q; -1 when q < bases[0]
+
+    chunk_words = rows[jnp.maximum(j, 0)]  # (Q, _RANK_CHUNK) row gather
+    within = jnp.sum(
+        (chunk_words <= queries[:, None]).astype(jnp.int32), axis=-1
+    )
+    return jnp.where(j < 0, 0, j * _RANK_CHUNK + within)
+
+
 def pack_bits(vals, nbits, capacity_bytes: int):
     """Scatter the gamma codes MSB-first into a byte array.
 
@@ -146,10 +192,7 @@ def pack_bits(vals, nbits, capacity_bytes: int):
     # (cap_words); callers choosing cap_words below the true worst case
     # must fall back when total_bits exceeds 32*cap_words.
     wq = jnp.arange(cap_words, dtype=jnp.int32)
-    # method='sort' (one merge-sort of tokens+queries) is ~3.5x faster
-    # than the default binary-search lowering on TPU, where gathers are
-    # the bottleneck
-    upper = jnp.searchsorted(word, wq, side="right", method="sort").astype(jnp.int32)
+    upper = _rank_chunked(word, wq)
     zero = jnp.zeros((1,), jnp.uint32)
 
     cs_hi = jnp.concatenate([zero, jnp.cumsum(hi, dtype=jnp.uint32)])
