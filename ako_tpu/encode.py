@@ -105,17 +105,12 @@ def _tile_encoder_fused_raw(
     else:
         tds = tile_w * tile_h * channels * 2
     capacity = tds - BLOCK_HEAD.size
-    # The chunk-rank pack cost scales with the byte budget, so size it
-    # for the expected ratio: clearly-lossy output compresses well past
-    # 4:1 per tile (typical margin ~2.5x at 128-px tiles), mild loss
-    # >2:1, lossless ~1.3-2:1. Over-budget tiles fall back to the host
-    # coder — exact, rare at these margins.
-    if quantization >= 8:
-        budget = capacity // 4
-    elif quantization > 0:
-        budget = capacity // 2
-    else:
-        budget = capacity * 7 // 8
+    # Budget = capacity/2 for lossy: measured per-tile ratios on
+    # photographic content at 128-px tiles are ~3.4:1, so capacity/4
+    # pushes most tiles into the (slow, exact) host fallback — it
+    # regressed the end-to-end benchmark three times before a direct
+    # count confirmed 77/80 tiles falling back.
+    budget = capacity // 2 if quantization > 0 else capacity * 7 // 8
     budget = max(budget, 4096)
 
     def fwd(tiles_u8):
