@@ -26,7 +26,7 @@ os.environ.setdefault(
 
 W, H, CH = 1024, 1280, 4
 MEGAPIXELS = W * H / 1e6
-STREAM_N = 8
+STREAM_N = 12
 # 128x128 tiles: the codec's natural TPU mapping (one compiled program,
 # tiles batched, independent entropy blocks); 128 keeps the per-shape
 # program's cold compile through the remote compiler tractable. The

@@ -100,3 +100,22 @@ class TestPipelineIntegration:
         s = checked_settings(Settings(quantization=16))
         streams = encode_tiles_device(img, s)
         assert_parity(streams[0])
+
+
+class TestRankChunked:
+    """The chunk-base rank (kept as an alternative to the sort-based
+    rank; see CLAUDE.md perf notes) must equal searchsorted exactly."""
+
+    def test_matches_searchsorted(self, rng):
+        from ako_tpu.ops.kagari_device import _rank_chunked
+
+        for _ in range(8):
+            n = int(rng.integers(5, 9000))
+            q_n = int(rng.integers(2, 4000))
+            nb = rng.integers(0, 12, size=n)
+            offs = np.cumsum(nb) - nb
+            word = (offs >> 5).astype(np.int32)
+            q = np.arange(q_n, dtype=np.int32)
+            ref = np.searchsorted(word, q, side="right")
+            got = np.asarray(_rank_chunked(jnp.asarray(word), jnp.asarray(q)))
+            np.testing.assert_array_equal(got, ref)
