@@ -125,7 +125,9 @@ def split_streams_for_upload(streams_batch: np.ndarray, schedule, channels: int)
             bodies.append(tail[:, off : off + body_len])
             off += body_len
     bodies_cat = np.concatenate(bodies, axis=1)
-    if np.abs(bodies_cat, dtype=None).max(initial=0) > 127:
+    # upcast before abs: np.abs(int16 -32768) wraps to -32768 and would
+    # slip past the range check, then corrupt to 0 in the int8 cast
+    if bodies_cat.size and np.abs(bodies_cat.astype(np.int32)).max() > 127:
         return None
     return (
         head16,
@@ -172,6 +174,37 @@ def _fire(events, tile_no, total, event, user):
         events(tile_no, total, event, user)
 
 
+def tile_block_sizes(t, s: Settings, channels: int):
+    """(tile_data_size bytes, planes_spacing elements) for one tile —
+    the decode-side size contract (reference decode.c:133-142)."""
+    if s.wavelet != Wavelet.NONE:
+        return (
+            geometry.tile_data_size(t.w, t.h) * channels,
+            geometry.planes_spacing(t.w, t.h),
+        )
+    return t.w * t.h * channels * 2, 0
+
+
+def read_tile_stream(view, cursor: int, t, s: Settings, channels: int):
+    """Entropy-decode (or raw-copy) one tile block from `view` at
+    `cursor`; returns (int16 values, new_cursor). Raises
+    AkoError(BROKEN_INPUT) on truncation/corruption. Single source of
+    truth for the per-tile block walk — used by every decode surface."""
+    tds, spacing = tile_block_sizes(t, s, channels)
+    if s.compression != Compression.NONE:
+        from ako_tpu.runtime.kagari import decompress_block
+
+        res = decompress_block(view[cursor:], tds, tds + spacing)
+        if res is None:
+            raise AkoError(Status.BROKEN_INPUT)
+        values, consumed = res
+        return values, cursor + consumed
+    if cursor + tds > len(view):
+        raise AkoError(Status.BROKEN_INPUT)
+    values = np.frombuffer(view[cursor : cursor + tds], dtype=np.int16).copy()
+    return values, cursor + tds
+
+
 def decode(
     blob: bytes,
     events: Optional[EventsCallback] = None,
@@ -192,27 +225,8 @@ def decode(
     # Host: entropy-decode every tile block into its coefficient stream
     streams: list[np.ndarray] = []
     for t in grid:
-        if s.wavelet != Wavelet.NONE:
-            tds = geometry.tile_data_size(t.w, t.h) * channels
-            spacing = geometry.planes_spacing(t.w, t.h)
-        else:
-            tds = t.w * t.h * channels * 2
-            spacing = 0
-
         _fire(events, t.index, total, Event.COMPRESSION_START, events_user)
-        if s.compression != Compression.NONE:
-            from ako_tpu.runtime.kagari import decompress_block
-
-            res = decompress_block(view[cursor:], tds, tds + spacing)
-            if res is None:
-                raise AkoError(Status.BROKEN_INPUT)
-            values, consumed = res
-            cursor += consumed
-        else:
-            if cursor + tds > len(blob):
-                raise AkoError(Status.BROKEN_INPUT)
-            values = np.frombuffer(view[cursor : cursor + tds], dtype=np.int16).copy()
-            cursor += tds
+        values, cursor = read_tile_stream(view, cursor, t, s, channels)
         _fire(events, t.index, total, Event.COMPRESSION_END, events_user)
         streams.append(values)
 
@@ -248,29 +262,12 @@ def decode_tiles_iter(blob: bytes):
     blob yields the tiles that fit and then raises AkoError."""
     view = memoryview(blob)
     channels, image_w, image_h, s = container.head_read(view)
+    _check_decode_budget(image_w, image_h, channels)
     cursor = container.HEAD_SIZE
     grid = geometry.tile_grid(image_w, image_h, s.tiles_dimension)
 
     for t in grid:
-        if s.wavelet != Wavelet.NONE:
-            tds = geometry.tile_data_size(t.w, t.h) * channels
-            spacing = geometry.planes_spacing(t.w, t.h)
-        else:
-            tds = t.w * t.h * channels * 2
-            spacing = 0
-        if s.compression != Compression.NONE:
-            from ako_tpu.runtime.kagari import decompress_block
-
-            res = decompress_block(view[cursor:], tds, tds + spacing)
-            if res is None:
-                raise AkoError(Status.BROKEN_INPUT)
-            values, consumed = res
-            cursor += consumed
-        else:
-            if cursor + tds > len(blob):
-                raise AkoError(Status.BROKEN_INPUT)
-            values = np.frombuffer(view[cursor : cursor + tds], dtype=np.int16).copy()
-            cursor += tds
+        values, cursor = read_tile_stream(view, cursor, t, s, channels)
         fn = _tile_decoder(t.w, t.h, channels, s.wavelet, s.wrap, s.color)
         pixels = np.asarray(fn(jnp.asarray(values[None])))[0]
         yield t, pixels

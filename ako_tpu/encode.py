@@ -286,8 +286,17 @@ def encode_tiles_blocks(
     bytes cross the device->host link."""
     grid = geometry.tile_grid(image.shape[1], image.shape[0], s.tiles_dimension)
     total = len(grid)
-    _fire(events, 0, total, Event.WAVELET_START, events_user)
+    # Event granularity note (PARITY.md): the fused path runs all
+    # tiles in batched async programs, so events fire once per image
+    # rather than per tile — FORMAT covers host staging + upload +
+    # dispatch, WAVELET the device wait (first sync point), and
+    # COMPRESSION the compressed-byte drain + framing.
+    _fire(events, 0, total, Event.FORMAT_START, events_user)
     grid, channels, dispatched = dispatch_tiles_fused(image, s)
+    _fire(events, 0, total, Event.FORMAT_END, events_user)
+    _fire(events, 0, total, Event.WAVELET_START, events_user)
+    for rec in dispatched:
+        np.asarray(rec[3])  # totals fetch = wait for device compute
     _fire(events, 0, total, Event.WAVELET_END, events_user)
     _fire(events, 0, total, Event.COMPRESSION_START, events_user)
     out = collect_tiles_blocks(s, channels, grid, dispatched)

@@ -259,31 +259,17 @@ def decode_image_sharded(
     blocks), tile batch sharded over the mesh for unlift+format, pixel
     planes gathered. Bit-identical to the single-chip decode()."""
     from ako_tpu.core import container
-    from ako_tpu.core.settings import AkoError, Status
-    from ako_tpu.runtime.kagari import decompress_block
+    from ako_tpu.decode import _check_decode_budget, read_tile_stream
 
     view = memoryview(blob)
     channels, image_w, image_h, s = container.head_read(view)
+    _check_decode_budget(image_w, image_h, channels)
     cursor = container.HEAD_SIZE
     grid = geometry.tile_grid(image_w, image_h, s.tiles_dimension)
 
     streams = []
     for t in grid:
-        if s.wavelet != Wavelet.NONE:
-            tds = geometry.tile_data_size(t.w, t.h) * channels
-            spacing = geometry.planes_spacing(t.w, t.h)
-        else:
-            tds = t.w * t.h * channels * 2
-            spacing = 0
-        if s.compression.value != 2:  # != NONE
-            res = decompress_block(view[cursor:], tds, tds + spacing)
-            if res is None:
-                raise AkoError(Status.BROKEN_INPUT)
-            values, consumed = res
-            cursor += consumed
-        else:
-            values = np.frombuffer(view[cursor : cursor + tds], np.int16).copy()
-            cursor += tds
+        values, cursor = read_tile_stream(view, cursor, t, s, channels)
         streams.append(values)
 
     image = np.empty((image_h, image_w, channels), dtype=np.uint8)

@@ -144,39 +144,34 @@ class PipelineDecoder:
         self.workers = max(1, workers)
 
     def _entropy_stage(self, blob: bytes, pool):
+        from ako_tpu.decode import _check_decode_budget, read_tile_stream, tile_block_sizes
+
         view = memoryview(blob)
         channels, w, h, s = container.head_read(view)
+        _check_decode_budget(w, h, channels)
         grid = geometry.tile_grid(w, h, s.tiles_dimension)
 
         # Sequential scan to find block boundaries (sizes are in each
-        # block head), then parallel entropy decode.
+        # block head), then parallel entropy decode of the independent
+        # blocks via the shared per-tile walk.
         offsets = []
         cursor = container.HEAD_SIZE
         for t in grid:
-            if s.wavelet != Wavelet.NONE:
-                tds = geometry.tile_data_size(t.w, t.h) * channels
-                spacing = geometry.planes_spacing(t.w, t.h)
-            else:
-                tds = t.w * t.h * channels * 2
-                spacing = 0
+            tds, _spacing = tile_block_sizes(t, s, channels)
             if s.compression != Compression.NONE:
                 if cursor + 4 > len(blob):
                     raise AkoError(Status.BROKEN_INPUT)
                 bs = int.from_bytes(view[cursor : cursor + 4], "little")
-                offsets.append((cursor, tds, spacing))
+                offsets.append((t, cursor))
                 cursor += 4 + bs
             else:
-                offsets.append((cursor, tds, spacing))
+                offsets.append((t, cursor))
                 cursor += tds
 
         def one(args):
-            off, tds, spacing = args
-            if s.compression != Compression.NONE:
-                res = decompress_block(view[off:], tds, tds + spacing)
-                if res is None:
-                    raise AkoError(Status.BROKEN_INPUT)
-                return res[0]
-            return np.frombuffer(view[off : off + tds], dtype=np.int16).copy()
+            t, off = args
+            values, _ = read_tile_stream(view, off, t, s, channels)
+            return values
 
         streams = list(pool.map(one, offsets))
         return streams, grid, channels, s, (h, w)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ako_tpu.core import container, geometry
-from ako_tpu.core.settings import AkoError, Color, Settings, Status, Wavelet
+from ako_tpu.core.settings import AkoError, Color, Compression, Settings, Status, Wavelet
 from ako_tpu.encode import checked_settings
 from ako_tpu.ops.colorspace import to_planar_yuv
 from ako_tpu.ops.lifting import _quantize_gate
@@ -147,7 +147,7 @@ def encode_with_ratio(
     """Returns (blob, chosen_quantization). Search identical to the
     reference's EncodePass; probes reuse the cached pyramid."""
     s = checked_settings(settings)
-    if ratio == 0 or s.wavelet == Wavelet.NONE or s.compression.value == 2:
+    if ratio == 0 or s.wavelet == Wavelet.NONE or s.compression == Compression.NONE:
         from ako_tpu.encode import encode
 
         return encode(image, s), s.quantization
@@ -196,6 +196,11 @@ def encode_with_ratio(
     else:
         chosen = ceil_q
 
+    # the chosen q was always one of the probes; reuse its blob rather
+    # than paying one more full quantize+entropy pass
+    last = getattr(enc, "_last", None)
+    if last is not None and last[0] == chosen:
+        return last[1], chosen
     blob = enc.encode_at(chosen)
     if blob is None:
         raise AkoError(Status.ERROR, "incompressible tile")

@@ -226,3 +226,38 @@ class TestDeviceEntropyPath:
         a = ako_tpu.encode(img, s, device_entropy=True)
         b = ako_tpu.encode(img, s, device_entropy=False)
         assert a == b
+
+
+class TestInt8SplitGuard:
+    def test_int16_min_body_falls_back(self, rng):
+        """np.abs(int16 -32768) wraps negative; the int8-split guard
+        must upcast or a -32768 highpass body coefficient would be
+        silently corrupted to 0 (found in review; bit-exactness bug)."""
+        import jax.numpy as jnp
+
+        from ako_tpu.core import geometry
+        from ako_tpu.decode import (
+            _run_tile_decoder,
+            split_streams_for_upload,
+            _tail_layout,
+        )
+
+        sched = geometry.lift_schedule(32, 32)
+        n = sched.coeff_count(1)
+        stream = rng.integers(-100, 100, size=(1, n)).astype(np.int16)
+        split, _ = _tail_layout(sched, 1)
+        # plant int16-min inside a tail body (skip the q-head slot)
+        stream[0, split + 1] = -32768
+        assert split_streams_for_upload(stream, sched, 1) is None
+
+        # and the decoder must still reconstruct that value exactly
+        s = Settings(quantization=0, gate=0, color=Color.NONE)
+        from ako_tpu.encode import checked_settings as _cs
+
+        out = np.asarray(_run_tile_decoder(stream, 32, 32, 1, _cs(s)))
+        # int16 path taken: decode through the plain program agrees
+        from ako_tpu.decode import _tile_decoder
+
+        fn = _tile_decoder(32, 32, 1, s.wavelet, s.wrap, Color.NONE)
+        ref = np.asarray(fn(jnp.asarray(stream)))
+        np.testing.assert_array_equal(out, ref)
