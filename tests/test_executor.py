@@ -44,3 +44,25 @@ def test_pipeline_uncompressed(rng):
     outs = list(PipelineDecoder().decode_iter(blobs))
     ref, _, _ = ako_tpu.decode(blobs[0])
     np.testing.assert_array_equal(outs[0], ref)
+
+
+def test_multihost_single_process_shard(rng):
+    """HostShardedPipeline degrades to local round-robin when
+    process_count == 1; global indices preserved."""
+    from ako_tpu.parallel.multihost import HostShardedPipeline, shard_stream
+
+    images = [
+        rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8) for _ in range(3)
+    ]
+    s = Settings(quantization=16)
+    pipe = HostShardedPipeline(s, workers=2)
+    got = dict(pipe.encode_shard(images))
+    assert sorted(got) == [0, 1, 2]
+    for i, img in enumerate(images):
+        assert got[i] == ako_tpu.encode(img, s)
+    dec = dict(pipe.decode_shard([got[i] for i in range(3)]))
+    for i, img_out in dec.items():
+        ref, _, _ = ako_tpu.decode(got[i])
+        np.testing.assert_array_equal(img_out, ref)
+    assert shard_stream([1, 2, 3, 4, 5], 0, 2) == [1, 3, 5]
+    assert shard_stream([1, 2, 3, 4, 5], 1, 2) == [2, 4]
