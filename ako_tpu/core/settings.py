@@ -150,7 +150,10 @@ def validate(
     Note the reference accepts channels == 0 here (only the flags
     field arithmetic makes it impossible on the wire).
     """
-    if channels > MAX_CHANNELS:
+    # The reference's sValidate accepts channels == 0 (head.c:34-64) but
+    # the wire's flags field cannot express it (channels-1 underflows);
+    # reject it here rather than letting the header pack raise raw.
+    if channels < 1 or channels > MAX_CHANNELS:
         return Status.INVALID_CHANNELS_NO
     if width == 0 or height == 0 or width > MAX_WIDTH or height > MAX_HEIGHT:
         return Status.INVALID_DIMENSIONS
