@@ -25,13 +25,12 @@ code path.
 
 from __future__ import annotations
 
-from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, List, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
 
 from ako_tpu.core.settings import Settings
-from ako_tpu.parallel.mesh import make_mesh
 from ako_tpu.runtime.executor import PipelineDecoder, PipelineEncoder
 
 

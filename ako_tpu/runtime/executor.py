@@ -35,7 +35,7 @@ from ako_tpu.encode import (
     dispatch_tiles_fused,
     encode_tiles_device,
 )
-from ako_tpu.runtime.kagari import compress_block, decompress_block
+from ako_tpu.runtime.kagari import compress_block
 
 
 def _entropy_encode_image(
