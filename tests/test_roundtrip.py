@@ -219,6 +219,13 @@ class TestDeviceEntropyPath:
         out, _, _ = ako_tpu.decode(a)
         np.testing.assert_array_equal(out, img)
 
+    def test_gate_through_device_coder(self, rng):
+        img = _img(rng, 32, 32, 3)
+        s = Settings(quantization=0, gate=16)
+        a = ako_tpu.encode(img, s, device_entropy=False)
+        b = ako_tpu.encode(img, s, device_entropy=True)
+        assert a == b
+
     def test_flat_image_long_runs(self, rng):
         # constant tiles: maximal RLE runs through the device coder
         img = np.full((64, 64, 3), 77, np.uint8)
