@@ -38,6 +38,11 @@ RLE_TRIGGER = 2
 VALUE_MAX = 65535
 FLUSH_COUNTER = VALUE_MAX - 1  # run counter value that forces a token
 
+#: rank implementation used by pack_bits: "dense" (histogram/matmul,
+#: the fast path), "sort" (round-1 merge-sort rank), "chunked"
+#: (binary-search + row-gather; loses at realistic budgets)
+_RANK_IMPL = "dense"
+
 
 def _exclusive_cumsum(x):
     return jnp.cumsum(x) - x
@@ -102,6 +107,59 @@ def _gamma_bits(u):
 
 
 _RANK_CHUNK = 128
+
+#: dense-inverse rank chunk width; also bounds each chunk's word span
+#: (bit offsets advance <= 31 bits/token, so a chunk of C tokens spans
+#: <= C-1 word indices)
+_DENSE_CHUNK = 256
+
+#: sentinel larger than any reachable word index (streams are < 2^28
+#: bits) but safe against base+r overflow in int32
+_WORD_PAD = 1 << 28
+
+
+def _rank_dense(word, n_queries: int):
+    """upper[q] = #(word <= q) for q = arange(n_queries), without
+    per-query gathers, scatters, or a big sort.
+
+    Requires `word` sorted non-decreasing with adjacent steps <= 1
+    (true for gamma-code word indices: offsets advance < 32 bits per
+    token). The queries being a dense arange turns rank into a
+    histogram + cumsum; the histogram is assembled from chunk-local
+    histograms (each chunk of _DENSE_CHUNK tokens spans < _DENSE_CHUNK
+    word indices) placed at their base word via a one-hot matmul — an
+    MXU-friendly dense contraction instead of the merge sort that
+    dominated the round-1 profile.
+
+    fp32 exactness: local-histogram entries are <= C and the placement
+    accumulates < 2^18 tokens total, far below 2^24."""
+    C = _DENSE_CHUNK
+    m = word.shape[0]
+    pad = (-m) % C
+    wpad = jnp.pad(word, (0, pad), constant_values=_WORD_PAD)
+    rows = wpad.reshape(-1, C)  # (nc, C)
+    base = rows[:, 0]
+    # chunk-local histogram over local offsets r in [0, C)
+    r = jnp.arange(C, dtype=jnp.int32)
+    lh = jnp.sum(
+        (rows[:, :, None] - base[:, None, None]) == r[None, None, :],
+        axis=1,
+        dtype=jnp.int32,
+    )  # (nc, C)
+    # place each local histogram at its base: P[q', r] = sum over
+    # chunks with base == q' of lh[., r]. Padded chunks have base ==
+    # _WORD_PAD and never match a query.
+    q = jnp.arange(n_queries, dtype=jnp.int32)
+    onehot = (base[None, :] == q[:, None]).astype(jnp.float32)  # (Q, nc)
+    P = onehot @ lh.astype(jnp.float32)  # (Q, C)
+    # h[q] = sum_r P[q - r, r]: static diagonal shift-sum
+    Ppad = jnp.concatenate(
+        [jnp.zeros((C - 1, C), jnp.float32), P], axis=0
+    )
+    h = jnp.zeros((n_queries,), jnp.float32)
+    for rr in range(C):
+        h = h + jax.lax.dynamic_slice_in_dim(Ppad[:, rr], C - 1 - rr, n_queries)
+    return jnp.cumsum(h.astype(jnp.int32))
 
 
 def _rank_chunked(word, queries):
@@ -191,13 +249,17 @@ def pack_bits(vals, nbits, capacity_bytes: int):
     # the expensive step on TPU, so it runs over a reduced query budget
     # (cap_words); callers choosing cap_words below the true worst case
     # must fall back when total_bits exceeds 32*cap_words.
-    wq = jnp.arange(cap_words, dtype=jnp.int32)
-    # sort-based rank: one merge-sort of tokens+queries. Faster on TPU
-    # than both the binary-search lowering (gathers) and the
-    # chunk-base rank below (whose per-query small-table gathers cost
-    # more than the sort at realistic budgets; it wins only when the
-    # budget can be cut ~4x, which real per-tile ratios don't allow).
-    upper = jnp.searchsorted(word, wq, side="right", method="sort").astype(jnp.int32)
+    # dense-inverse rank (histogram + cumsum via one-hot matmul):
+    # replaces the round-1 merge-sort rank, whose sort dominated the
+    # device profile (~145 ms/img). Alternatives kept for A/B below.
+    if _RANK_IMPL == "dense":
+        upper = _rank_dense(word, cap_words)
+    elif _RANK_IMPL == "chunked":
+        wq = jnp.arange(cap_words, dtype=jnp.int32)
+        upper = _rank_chunked(word, wq)
+    else:  # "sort"
+        wq = jnp.arange(cap_words, dtype=jnp.int32)
+        upper = jnp.searchsorted(word, wq, side="right", method="sort").astype(jnp.int32)
     zero = jnp.zeros((1,), jnp.uint32)
 
     cs_hi = jnp.concatenate([zero, jnp.cumsum(hi, dtype=jnp.uint32)])

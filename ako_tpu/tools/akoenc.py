@@ -46,7 +46,7 @@ def build_options() -> OptionsManager:
     om.add_bool("-quiet", "Extra", "no output except errors", "--quiet")
     om.add_bool("-v", "Extra", "print version and exit", "--version")
     om.add_bool("-h", "Extra", "print this help", "--help")
-    om.add_int("-dev-r", 0, 0, 65535, "Developer", "rate control: target ratio N:1", "--dev-ratio")
+    om.add_int("-dev-r", 0, 0, 4096, "Developer", "rate control: target ratio N:1", "--dev-ratio")
     om.add_string(
         "-dev-compression", "KAGARI", COMPRESSIONS, "Developer", "compression method",
         "--dev-compression",
@@ -123,7 +123,10 @@ def main(argv=None) -> int:
         if om["-dev-r"].value > 0:
             from ako_tpu.tools.rate import encode_with_ratio
 
-            blob, q_used = encode_with_ratio(image, s, om["-dev-r"].value)
+            blob, q_used = encode_with_ratio(
+                image, s, om["-dev-r"].value,
+                verbose=om["-verbose"].value and not quiet,
+            )
             if not quiet:
                 print(f"rate control: quantization {q_used}")
         else:

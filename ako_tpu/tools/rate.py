@@ -91,7 +91,12 @@ class _CachedEncoder:
         self._pyramids: Dict[Color, list] = {}
 
     def _settings_at(self, q: int) -> Settings:
-        return checked_settings(self.base.replace(quantization=q, gate=0 if q == 0 else self.base.gate))
+        # The reference's EncodePass keeps the user's gate for EVERY
+        # probe, including the q=0 ceiling pass (akoenc.cpp:139-143) —
+        # only the ratio==1 path zeroes it. The gate also feeds the
+        # YCoCg->YCoCg_Q auto-switch, so zeroing it here would change
+        # both probe sizes and, at chosen q==0, the final blob.
+        return checked_settings(self.base.replace(quantization=q))
 
     def _tile_pyramids(self, s: Settings):
         key = s.color
@@ -160,6 +165,8 @@ def encode_with_ratio(
     h, w, ch = image.shape
     target_size = (w * h * ch) // ratio
     error_margin = (target_size * 4) // 100
+    if verbose:
+        print(f"Target: {target_size / 1000:.2f} kB, error: {error_margin / 1000:.2f} kB...")
 
     enc = _CachedEncoder(image, settings)
 
@@ -192,14 +199,18 @@ def encode_with_ratio(
     if (max(floor_size, target_size) - min(floor_size, target_size)) < (
         max(ceil_size, target_size) - min(ceil_size, target_size)
     ):
-        chosen = floor_q
+        chosen, chosen_size = floor_q, floor_size
     else:
-        chosen = ceil_q
+        chosen, chosen_size = ceil_q, ceil_size
+    if verbose:
+        print(f" - Q: {chosen}")
 
-    # the chosen q was always one of the probes; reuse its blob rather
-    # than paying one more full quantize+entropy pass
+    # Reference reuse quirk (akoenc.cpp:193-212): the LAST probe's blob
+    # is emitted whenever its size numerically equals the chosen
+    # endpoint's size — even on a size plateau where that probe ran at
+    # a DIFFERENT q than `chosen`. Replicated for byte parity.
     last = getattr(enc, "_last", None)
-    if last is not None and last[0] == chosen:
+    if last is not None and last_size == chosen_size:
         return last[1], chosen
     blob = enc.encode_at(chosen)
     if blob is None:

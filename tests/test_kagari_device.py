@@ -119,3 +119,32 @@ class TestRankChunked:
             ref = np.searchsorted(word, q, side="right")
             got = np.asarray(_rank_chunked(jnp.asarray(word), jnp.asarray(q)))
             np.testing.assert_array_equal(got, ref)
+
+
+class TestRankDense:
+    """The dense-inverse rank (histogram + one-hot matmul, the pack
+    fast path) must equal searchsorted for step-<=1 word sequences."""
+
+    def test_matches_searchsorted(self, rng):
+        from ako_tpu.ops.kagari_device import _rank_dense
+
+        for _ in range(8):
+            n = int(rng.integers(5, 9000))
+            q_n = int(rng.integers(2, 4000))
+            # realistic gamma-code bit lengths incl. long zero-bit runs
+            nb = rng.integers(0, 32, size=n)
+            nb[rng.random(n) < 0.4] = 0
+            offs = np.cumsum(nb) - nb
+            word = (offs >> 5).astype(np.int32)
+            q = np.arange(q_n, dtype=np.int32)
+            ref = np.searchsorted(word, q, side="right")
+            got = np.asarray(_rank_dense(jnp.asarray(word), q_n))
+            np.testing.assert_array_equal(got, ref)
+
+    def test_all_tokens_one_word(self):
+        from ako_tpu.ops.kagari_device import _rank_dense
+
+        word = np.zeros(700, np.int32)  # many span-0 chunks, same base
+        got = np.asarray(_rank_dense(jnp.asarray(word), 16))
+        ref = np.searchsorted(word, np.arange(16), side="right")
+        np.testing.assert_array_equal(got, ref)

@@ -116,8 +116,11 @@ class TestRateControlVsReferenceBinary:
     """encode_with_ratio must reproduce the reference akoenc's
     --dev-ratio output byte-for-byte (same search, same probes)."""
 
-    @pytest.mark.parametrize("ratio", [4, 8])
-    def test_dev_ratio_parity(self, rng, tmp_path, ratio):
+    # the gate>0 cases cover the probe-settings path: EncodePass keeps
+    # the user's gate for every probe including the q=0 ceiling pass
+    # (akoenc.cpp:139-143), and the gate feeds the YCoCg->YCoCg_Q switch
+    @pytest.mark.parametrize("ratio,gate", [(4, 0), (8, 0), (8, 16), (4, 24)])
+    def test_dev_ratio_parity(self, rng, tmp_path, ratio, gate):
         import os
         import subprocess
 
@@ -142,10 +145,27 @@ class TestRateControlVsReferenceBinary:
         out = str(tmp_path / "ref.ako")
         Image.fromarray(img).save(png)
         subprocess.run(
-            [akoenc, "-i", png, "-o", out, "-dev-r", str(ratio), "-quiet"],
+            [akoenc, "-i", png, "-o", out, "-dev-r", str(ratio), "-g", str(gate), "-quiet"],
             check=True,
             capture_output=True,
         )
         ref = open(out, "rb").read()
-        ours, _q = encode_with_ratio(img, ako_tpu.Settings(), ratio)
+        ours, _q = encode_with_ratio(img, ako_tpu.Settings(gate=gate), ratio)
         assert ours == ref
+
+
+class TestDeveloperDump:
+    def test_pgm_clamps_like_reference(self, tmp_path):
+        """developer.c:40 clamps to [0,255] (nested ternary), it does
+        NOT truncate to the low byte."""
+        from ako_tpu.utils.developer import save_pgm_i16
+
+        plane = np.array([[-5, 0, 1, 254], [255, 256, 300, -32768]], np.int16)
+        path = str(tmp_path / "p.pgm")
+        save_pgm_i16(plane, path)
+        data = open(path, "rb").read()
+        assert data.startswith(b"P5\n4\n2\n255\n")
+        pixels = np.frombuffer(data[len(b"P5\n4\n2\n255\n"):], np.uint8)
+        np.testing.assert_array_equal(
+            pixels, [0, 0, 1, 254, 255, 255, 255, 0]
+        )
