@@ -205,10 +205,129 @@ def read_tile_stream(view, cursor: int, t, s: Settings, channels: int):
     return values, cursor + tds
 
 
+def _bucket_words(m: int) -> int:
+    """Power-of-two padded word capacity for the compressed-stream
+    upload: bounds transferred bytes to <= 2x the largest actual
+    compressed tile while keeping compiled-program count logarithmic."""
+    w = 256
+    while w < m:
+        w *= 2
+    return w
+
+
+@functools.lru_cache(maxsize=256)
+def _entropy_decode_fn(n_outputs: int, block: int, words_cap: int):
+    """Jitted batched device entropy decode: (T, words_cap) u32 +
+    (T, B) sync arrays -> (T, n_outputs) int16 coefficient streams."""
+    from ako_tpu.ops.kagari_device import kagari_decode_device
+
+    def fn(words, bit_off, prev, consec, run):
+        return jax.vmap(
+            lambda w, b, p, c, r: kagari_decode_device(w, b, p, c, r, n_outputs, block)
+        )(words, bit_off, prev, consec, run)
+
+    return jax.jit(fn)
+
+
+def _payload_words(payload: memoryview, words_cap: int) -> np.ndarray:
+    buf = np.zeros(words_cap * 4, np.uint8)
+    buf[: len(payload)] = np.frombuffer(payload, np.uint8)
+    return buf.view(">u4").astype(np.uint32)
+
+
+def dispatch_tiles_device_entropy(view, cursor: int, grid, s: Settings, channels: int,
+                                  pool=None):
+    """Device-entropy decode phase 1: scan every tile's Kagari block on
+    host (sync records only — no value decode), upload compressed words
+    + sync, and dispatch the fused entropy-decode + unlift + format
+    program per shape group. Returns dispatch records; tiles with
+    oversized codes (the zigzag(-32768) misalignment quirk,
+    runtime/kagari.py:kagari_sync) decode on host instead.
+
+    This replaces the round-1 path that host-decoded every coefficient
+    and uploaded ~5.6 MB/image of int16/int8 planes: only the
+    compressed bytes (bucket-padded) and tiny sync tables cross the
+    link (reference decode loop: library/kagari.c:301-366)."""
+    from ako_tpu.ops.kagari_device import DECODE_BLOCK
+    from ako_tpu.runtime.kagari import BLOCK_HEAD, kagari_sync
+    from ako_tpu.runtime.transfer import device_put_parallel
+
+    # sequential boundary walk (block sizes live in each head) ...
+    blocks = []
+    for t in grid:
+        tds, spacing = tile_block_sizes(t, s, channels)
+        if cursor + BLOCK_HEAD.size > len(view):
+            raise AkoError(Status.BROKEN_INPUT)
+        (bs,) = BLOCK_HEAD.unpack_from(view, cursor)
+        payload = view[cursor + BLOCK_HEAD.size : cursor + BLOCK_HEAD.size + bs]
+        if len(payload) < bs:
+            raise AkoError(Status.BROKEN_INPUT)
+        blocks.append((t, payload, tds, spacing, bs))
+        cursor += BLOCK_HEAD.size + bs
+
+    # ... then independent sync scans, optionally on the worker pool
+    # (the native scanner releases the GIL)
+    def scan(args):
+        t, payload, tds, spacing, bs = args
+        return kagari_sync(tds // 2, payload, tds + spacing, DECODE_BLOCK)
+
+    syncs = list(pool.map(scan, blocks)) if pool is not None else [
+        scan(b) for b in blocks
+    ]
+
+    per_shape: dict = {}
+    host_tiles: list = []
+    for (t, payload, tds, spacing, bs), sync in zip(blocks, syncs):
+        if sync is None or sync[4] != bs:
+            raise AkoError(Status.BROKEN_INPUT)
+        if sync[5] > 31:
+            host_tiles.append((t, payload, tds // 2))
+        else:
+            per_shape.setdefault((t.w, t.h), []).append((t, payload, sync))
+
+    dispatched = []
+    for (tw, th), items in per_shape.items():
+        count = tile_block_sizes(items[0][0], s, channels)[0] // 2
+        wcap = _bucket_words(max((len(p) + 3) // 4 + 2 for _, p, _ in items))
+        words = np.stack([_payload_words(p, wcap) for _, p, _ in items])
+        bit_off = np.stack([sy[0] for _, _, sy in items])
+        prev = np.stack([sy[1] for _, _, sy in items])
+        consec = np.stack([sy[2] for _, _, sy in items])
+        run = np.stack([sy[3] for _, _, sy in items])
+        efn = _entropy_decode_fn(count, DECODE_BLOCK, wcap)
+        streams_dev = efn(
+            device_put_parallel(words),
+            jnp.asarray(bit_off),
+            jnp.asarray(prev),
+            jnp.asarray(consec),
+            jnp.asarray(run),
+        )
+        dfn = _tile_decoder(tw, th, channels, s.wavelet, s.wrap, s.color)
+        pixels_dev = dfn(streams_dev)
+        dispatched.append(([t for t, _, _ in items], th, tw, pixels_dev))
+
+    # quirk tiles: exact host decode, standard device unlift
+    by_shape_host: dict = {}
+    for t, payload, count in host_tiles:
+        from ako_tpu.runtime.kagari import kagari_decode
+
+        tds_h, spacing_h = tile_block_sizes(t, s, channels)
+        res = kagari_decode(count, payload, tds_h + spacing_h)
+        if res is None:
+            raise AkoError(Status.BROKEN_INPUT)
+        by_shape_host.setdefault((t.w, t.h), []).append((t, res[0]))
+    for (tw, th), items in by_shape_host.items():
+        batch = np.stack([v for _, v in items], axis=0)
+        pixels_dev = _run_tile_decoder(batch, tw, th, channels, s)
+        dispatched.append(([t for t, _ in items], th, tw, pixels_dev))
+    return dispatched
+
+
 def decode(
     blob: bytes,
     events: Optional[EventsCallback] = None,
     events_user=None,
+    device_entropy: Optional[bool] = None,
 ) -> Tuple[np.ndarray, Settings, int]:
     """Decode an .ako blob. Returns (image uint8 (h, w, channels),
     settings-from-header, channels); raises AkoError on failure."""
@@ -218,6 +337,33 @@ def decode(
     channels, image_w, image_h, s = container.head_read(view)
     _check_decode_budget(image_w, image_h, channels)
     cursor = container.HEAD_SIZE
+
+    if device_entropy is None:
+        device_entropy = jax.default_backend() != "cpu"
+    if device_entropy and s.compression == Compression.KAGARI:
+        grid = geometry.tile_grid(image_w, image_h, s.tiles_dimension)
+        total = len(grid)
+        # fused-path event granularity: per image, like the fused
+        # encode (PARITY.md known-divergences): COMPRESSION covers the
+        # host sync scan + upload + dispatch, WAVELET the device wait,
+        # FORMAT the pixel drain
+        _fire(events, 0, total, Event.COMPRESSION_START, events_user)
+        dispatched = dispatch_tiles_device_entropy(view, cursor, grid, s, channels)
+        _fire(events, 0, total, Event.COMPRESSION_END, events_user)
+        from ako_tpu.runtime.transfer import device_get_parallel
+
+        image = np.empty((image_h, image_w, channels), dtype=np.uint8)
+        _fire(events, 0, total, Event.WAVELET_START, events_user)
+        for _tiles, _th, _tw, pixels_dev in dispatched:
+            pixels_dev.block_until_ready()
+        _fire(events, 0, total, Event.WAVELET_END, events_user)
+        _fire(events, 0, total, Event.FORMAT_START, events_user)
+        for tiles, th, tw, pixels_dev in dispatched:
+            pixels = device_get_parallel(pixels_dev)
+            for i, t in enumerate(tiles):
+                image[t.y : t.y + th, t.x : t.x + tw, :] = pixels[i]
+        _fire(events, 0, total, Event.FORMAT_END, events_user)
+        return image, s, channels
 
     grid = geometry.tile_grid(image_w, image_h, s.tiles_dimension)
     total = len(grid)
@@ -252,22 +398,49 @@ def decode(
     return image, s, channels
 
 
-def decode_tiles_iter(blob: bytes):
+def decode_tiles_iter(blob: bytes, max_batch: int = 32):
     """Streaming decode: yield (tile_placement, pixels uint8 (th, tw,
-    channels)) as each tile block is consumed, in tile row-major order.
+    channels)) as tile blocks are consumed, in tile row-major order.
 
     The format is tile-streamable — every tile block is independently
     decodable once the 16-byte header is read (the reference documents
     this property; SURVEY.md §5 checkpoint/resume analog). A truncated
-    blob yields the tiles that fit and then raises AkoError."""
+    blob yields the tiles that fit and then raises AkoError.
+
+    Consecutive same-shaped tiles (typically whole grid rows) are
+    dispatched as one batched device program with parallel transfers,
+    bounded by `max_batch` — an order of magnitude faster than the
+    round-1 one-tile-at-a-time dispatch while keeping bounded lookahead
+    and the exact yield order/truncation semantics."""
     view = memoryview(blob)
     channels, image_w, image_h, s = container.head_read(view)
     _check_decode_budget(image_w, image_h, channels)
     cursor = container.HEAD_SIZE
     grid = geometry.tile_grid(image_w, image_h, s.tiles_dimension)
 
+    pending: list = []
+
+    def flush():
+        if not pending:
+            return
+        tw, th = pending[0][0].w, pending[0][0].h
+        batch = np.stack([v for _, v in pending], axis=0)
+        pixels = np.asarray(_run_tile_decoder(batch, tw, th, channels, s))
+        for (t, _), px in zip(pending, pixels):
+            yield t, px
+        pending.clear()
+
     for t in grid:
-        values, cursor = read_tile_stream(view, cursor, t, s, channels)
-        fn = _tile_decoder(t.w, t.h, channels, s.wavelet, s.wrap, s.color)
-        pixels = np.asarray(fn(jnp.asarray(values[None])))[0]
-        yield t, pixels
+        try:
+            values, cursor = read_tile_stream(view, cursor, t, s, channels)
+        except AkoError:
+            # truncated/corrupt: everything parsed so far still decodes
+            yield from flush()
+            raise
+        if pending and (
+            (pending[0][0].w, pending[0][0].h) != (t.w, t.h)
+            or len(pending) >= max_batch
+        ):
+            yield from flush()
+        pending.append((t, values))
+    yield from flush()

@@ -135,15 +135,11 @@ def _tile_encoder_fused(*args):
     """Two chained jitted programs (forward, then entropy pack) rather
     than one: the single fused graph makes the XLA compile blow up from
     ~25s to 10+ minutes, while the intermediate coefficient stream
-    stays on device either way."""
+    stays on device either way. Returned separately so callers can keep
+    the coefficient stream for the near-capacity host-coder fallback
+    (no tile is ever lifted twice)."""
     raw, capacity, budget = _tile_encoder_fused_raw(*args)
-    fwd_jit = jax.jit(raw.fwd)
-    pack_jit = jax.jit(raw.pack)
-
-    def chained(tiles_u8):
-        return pack_jit(fwd_jit(tiles_u8))
-
-    return chained, capacity, budget
+    return jax.jit(raw.fwd), jax.jit(raw.pack), capacity, budget
 
 
 def _fire(events, tile_no, total, event, user):
@@ -206,7 +202,7 @@ def dispatch_tiles_fused(image: np.ndarray, s: Settings):
 
     dispatched = []
     for (tw, th), tiles in _group_by_shape(grid).items():
-        fn, capacity, budget = _tile_encoder_fused(
+        fwd, pack, capacity, budget = _tile_encoder_fused(
             tw,
             th,
             channels,
@@ -223,9 +219,12 @@ def dispatch_tiles_fused(image: np.ndarray, s: Settings):
         )
         from ako_tpu.runtime.transfer import device_put_parallel
 
-        comp_bytes, totals_dev = fn(device_put_parallel(batch))
+        # keep the coefficient stream handle: near-capacity tiles fall
+        # back to the host coder on it instead of re-running the lift
+        stream_dev = fwd(device_put_parallel(batch))
+        comp_bytes, totals_dev = pack(stream_dev)
         dispatched.append(
-            (tiles, batch, comp_bytes, totals_dev, capacity, budget, (tw, th))
+            (tiles, stream_dev, comp_bytes, totals_dev, capacity, budget)
         )
     return grid, channels, dispatched
 
@@ -233,9 +232,11 @@ def dispatch_tiles_fused(image: np.ndarray, s: Settings):
 def collect_tiles_blocks(s: Settings, channels: int, grid, dispatched):
     """Phase 2: fetch compressed bytes (one bulk transfer per shape
     group) and frame the per-tile blocks; near-capacity tiles fall back
-    to the host coder so the reference's exact bounds checks decide."""
+    to the host coder so the reference's exact bounds checks decide.
+    The fallback reuses the already-computed device coefficient stream
+    (one extra fetch, zero recompute)."""
     out: list[Optional[bytes]] = [None] * len(grid)
-    for tiles, batch, comp_bytes, totals_dev, capacity, budget, (tw, th) in dispatched:
+    for tiles, stream_dev, comp_bytes, totals_dev, capacity, budget in dispatched:
         totals = np.asarray(totals_dev)
         fallback = [
             i
@@ -254,12 +255,9 @@ def collect_tiles_blocks(s: Settings, channels: int, grid, dispatched):
                     BLOCK_HEAD.pack(n) + host_bytes[i, :n].tobytes()
                 )
         if fallback:
-            sfn = _tile_encoder(
-                tw, th, channels, s.wavelet, s.wrap, s.color,
-                bool(s.discard_non_visible), s.quantization, s.gate,
-                s.chroma_loss,
-            )
-            streams = np.asarray(sfn(jnp.asarray(batch[fallback])))
+            from ako_tpu.runtime.transfer import device_get_parallel
+
+            streams = device_get_parallel(stream_dev[jnp.asarray(fallback)])
             for j, i in enumerate(fallback):
                 block = compress_block(streams[j], capacity + BLOCK_HEAD.size)
                 if block is None:

@@ -110,8 +110,9 @@ _RANK_CHUNK = 128
 
 #: dense-inverse rank chunk width; also bounds each chunk's word span
 #: (bit offsets advance <= 31 bits/token, so a chunk of C tokens spans
-#: <= C-1 word indices)
-_DENSE_CHUNK = 256
+#: <= C-1 word indices). Swept on the chip: 128 beat 256 (44 vs 49 ms
+#: per 80-tile image) and 512 (64 ms)
+_DENSE_CHUNK = 128
 
 #: sentinel larger than any reachable word index (streams are < 2^28
 #: bits) but safe against base+r overflow in int32
@@ -131,9 +132,13 @@ def _rank_dense(word, n_queries: int):
     MXU-friendly dense contraction instead of the merge sort that
     dominated the round-1 profile.
 
-    fp32 exactness: local-histogram entries are <= C and the placement
-    accumulates < 2^18 tokens total, far below 2^24."""
+    Exactness: local-histogram entries are <= C <= 256, exactly
+    representable in bf16 (8 mantissa bits), and the MXU accumulates in
+    fp32 over < 2^18 tokens total, far below 2^24."""
     C = _DENSE_CHUNK
+    # the fold below halves the row count each step; C must be a power
+    # of two (and <= 256 for bf16 exactness of histogram entries)
+    assert C & (C - 1) == 0 and C <= 256
     m = word.shape[0]
     pad = (-m) % C
     wpad = jnp.pad(word, (0, pad), constant_values=_WORD_PAD)
@@ -146,19 +151,30 @@ def _rank_dense(word, n_queries: int):
         axis=1,
         dtype=jnp.int32,
     )  # (nc, C)
-    # place each local histogram at its base: P[q', r] = sum over
-    # chunks with base == q' of lh[., r]. Padded chunks have base ==
-    # _WORD_PAD and never match a query.
+    # place each local histogram at its base: PT[r, q'] = sum over
+    # chunks with base == q' of lh[., r] — a bf16 MXU contraction
+    # against the one-hot base matrix. Padded chunks have base ==
+    # _WORD_PAD and never match a query. Transposed layout so the
+    # diagonal reduction below works on contiguous rows.
     q = jnp.arange(n_queries, dtype=jnp.int32)
-    onehot = (base[None, :] == q[:, None]).astype(jnp.float32)  # (Q, nc)
-    P = onehot @ lh.astype(jnp.float32)  # (Q, C)
-    # h[q] = sum_r P[q - r, r]: static diagonal shift-sum
-    Ppad = jnp.concatenate(
-        [jnp.zeros((C - 1, C), jnp.float32), P], axis=0
-    )
-    h = jnp.zeros((n_queries,), jnp.float32)
-    for rr in range(C):
-        h = h + jax.lax.dynamic_slice_in_dim(Ppad[:, rr], C - 1 - rr, n_queries)
+    onehot_t = (base[:, None] == q[None, :]).astype(jnp.bfloat16)  # (nc, Q)
+    PT = jnp.matmul(
+        lh.T.astype(jnp.bfloat16), onehot_t, preferred_element_type=jnp.float32
+    )  # (C, Q)
+    # h[q] = sum_r PT[r, q - r]: a skew-diagonal sum, folded in log2(C)
+    # steps — at each step the bottom half of the rows is shifted right
+    # by the half-width (a static pad+slice, no relayout) and added to
+    # the top half. A flat-reshape skew triggers a pathological lane
+    # relayout on TPU (measured 113 ms vs ~1 ms for this fold).
+    B = jnp.pad(PT, ((0, 0), (0, C)))  # (C, Q + C)
+    width = n_queries + C
+    k = C
+    while k > 1:
+        half = k // 2
+        shifted = jnp.pad(B[half:k], ((0, 0), (half, 0)))[:, :width]
+        B = B[:half] + shifted
+        k = half
+    h = B[0, :n_queries]
     return jnp.cumsum(h.astype(jnp.int32))
 
 
@@ -280,6 +296,110 @@ def pack_bits(vals, nbits, capacity_bytes: int):
     b3 = words & 0xFF
     by = jnp.stack([b0, b1, b2, b3], axis=-1).reshape(-1)[:capacity_bytes]
     return by.astype(jnp.uint8), total_bits
+
+
+#: sync-record consec sentinel: "first output of the stream pending"
+#: (the reference writes the first literal without any run comparison,
+#: kagari.c:322; akort_kagari_sync emits the same sentinel)
+SYNC_FIRST = 0xFFFF
+
+#: outputs decoded per device block; each block starts from a host
+#: sync record (runtime.kagari.kagari_sync) and decodes independently
+DECODE_BLOCK = 128
+
+
+def _gamma_at(hi, lo, cur):
+    """Decode one gamma code from the 64-bit window (hi, lo) at bit
+    cursor `cur` (0..31): returns (value u32, length i32). Codes are
+    <= 31 bits (callers fall back to the host for the zigzag(-32768)
+    misalignment quirk, the only source of longer codes)."""
+    top = jnp.where(
+        cur == 0,
+        hi,
+        (hi << cur) | (lo >> jnp.minimum(jnp.uint32(32) - cur, jnp.uint32(31))),
+    )
+    z = jnp.zeros(top.shape, jnp.int32)
+    for k in range(1, 16):
+        z = z + (top < jnp.uint32(1 << (32 - k))).astype(jnp.int32)
+    length = 2 * z + 1
+    u = top >> (jnp.int32(32) - length).astype(jnp.uint32)
+    return u, length
+
+
+def _refill(hi, lo, cur, wptr, words):
+    """Shift one word into the window when the cursor has crossed it.
+    One refill always restores cur <= 31 (codes consume <= 31 bits
+    from cur <= 31)."""
+    need = cur >= 32
+    w = words[jnp.clip(wptr, 0, words.shape[0] - 1)]
+    return (
+        jnp.where(need, lo, hi),
+        jnp.where(need, w, lo),
+        jnp.where(need, cur - 32, cur),
+        jnp.where(need, wptr + 1, wptr),
+    )
+
+
+def _unzigzag(u):
+    """Gamma value u -> int16-valued int32: (u-1) & 0xFFFF, zigzag
+    decode, sign-extend (kagari.c:176-179 semantics)."""
+    q = (u - jnp.uint32(1)) & jnp.uint32(0xFFFF)
+    mask = (q & 1) * jnp.uint32(0xFFFF)
+    x = (((q >> 1) ^ mask) & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    return x - ((x & 0x8000) << 1)
+
+
+def kagari_decode_device(words, bit_off, prev0, consec0, run0, n_outputs: int,
+                         block: int = DECODE_BLOCK):
+    """Device-side parallel Kagari decode of one tile's stream.
+
+    words: (W,) uint32 — the compressed bytes as big-endian-bit words,
+    padded with >= 2 slack words. Sync arrays (B,) come from the host
+    scanner (runtime.kagari.kagari_sync; reference decode semantics
+    kagari.c:301-366): every block of `block` output values decodes
+    independently from its record, so the sequential gamma stream
+    parallelizes over B lanes with a `block`-step scan — each step
+    emits exactly one value (a literal, or one repeat of the pending
+    run) and consumes 0, 1 (literal) or 2 (literal + run token)
+    codes. Returns (n_outputs,) int16, bit-exact with the host
+    decoder for every stream whose codes are <= 31 bits."""
+    prev = prev0.astype(jnp.int32)
+    consec = consec0.astype(jnp.uint16).astype(jnp.int32)
+    runrem = run0.astype(jnp.uint16).astype(jnp.int32)
+    boff = bit_off.astype(jnp.uint32)
+    wptr0 = (boff >> 5).astype(jnp.int32)
+    cur = boff & jnp.uint32(31)
+    wcap = words.shape[0]
+    hi = words[jnp.clip(wptr0, 0, wcap - 1)]
+    lo = words[jnp.clip(wptr0 + 1, 0, wcap - 1)]
+    wptr = wptr0 + 2
+
+    def step(state, _):
+        hi, lo, cur, wptr, prev, consec, runrem = state
+        in_run = runrem > 0
+        u, ln = _gamma_at(hi, lo, cur)
+        v = _unzigzag(u)
+        cur = cur + jnp.where(in_run, 0, ln).astype(jnp.uint32)
+        hi, lo, cur, wptr = _refill(hi, lo, cur, wptr, words)
+
+        first = consec == SYNC_FIRST
+        eq = (~first) & (~in_run) & (v == prev)
+        consec_lit = jnp.where(first, 0, jnp.where(eq, consec + 1, 0))
+        trigger = (~in_run) & (consec_lit == RLE_TRIGGER)
+        u2, ln2 = _gamma_at(hi, lo, cur)
+        cur = cur + jnp.where(trigger, ln2, 0).astype(jnp.uint32)
+        hi, lo, cur, wptr = _refill(hi, lo, cur, wptr, words)
+        rle_len = ((u2 - jnp.uint32(1)) & jnp.uint32(0xFFFF)).astype(jnp.int32)
+
+        out = jnp.where(in_run, prev, v)
+        prev_n = jnp.where(in_run | eq, prev, v)
+        runrem_n = jnp.where(in_run, runrem - 1, jnp.where(trigger, rle_len, 0))
+        consec_n = jnp.where(in_run, consec, jnp.where(trigger, 0, consec_lit))
+        return (hi, lo, cur, wptr, prev_n, consec_n, runrem_n), out.astype(jnp.int16)
+
+    state0 = (hi, lo, cur, wptr, prev, consec, runrem)
+    _, ys = jax.lax.scan(step, state0, None, length=block)  # (block, B)
+    return ys.T.reshape(-1)[:n_outputs]
 
 
 def kagari_encode_device(values, capacity_bytes: int, budget_bytes: int | None = None):

@@ -13,3 +13,5 @@ it has no counterpart for (SURVEY.md §2.4):
 
 from ako_tpu.parallel.mesh import make_mesh
 from ako_tpu.parallel.halo import forward_tile_sharded, inverse_tile_sharded
+
+__all__ = ["make_mesh", "forward_tile_sharded", "inverse_tile_sharded"]

@@ -151,10 +151,12 @@ def _sharded_tile_encoder_fused(
     chroma_loss: int,
 ):
     """SPMD fused encode + bitstream gather: tiles sharded over the
-    mesh run format+lift+Kagari locally; the compressed byte planes and
-    sizes are then replicated (out_shardings) — XLA inserts the
-    all-gather over ICI, the TPU-native form of the reference's
-    sequential blob append (library/encode.c:170-182; SURVEY.md §2.4.3)."""
+    mesh run format+lift+Kagari locally. Only the (tiny) per-tile sizes
+    are replicated eagerly; the compressed planes stay sharded, and the
+    caller gathers them through `_bucket_gather` at a width bounded by
+    the actual compressed sizes — the TPU-native form of the
+    reference's sequential blob append (library/encode.c:170-182;
+    SURVEY.md §2.4.3) without moving budget-width planes over ICI."""
     from ako_tpu.encode import _tile_encoder_fused_raw
 
     fn, capacity, budget = _tile_encoder_fused_raw(
@@ -163,20 +165,36 @@ def _sharded_tile_encoder_fused(
     )
     batch_spec = NamedSharding(mesh, P(axis_name))
     replicated = NamedSharding(mesh, P())
-    # per-shard forward+pack, then the all-gather of compressed planes
-    # and sizes (out_shardings=replicated) — two chained programs, like
-    # the single-chip path
     fwd_jit = jax.jit(fn.fwd, in_shardings=batch_spec, out_shardings=batch_spec)
     pack_jit = jax.jit(
         fn.pack,
         in_shardings=batch_spec,
-        out_shardings=(replicated, replicated),
+        out_shardings=(batch_spec, replicated),
     )
+    return fwd_jit, pack_jit, capacity, budget
 
-    def chained(batch):
-        return pack_jit(fwd_jit(batch))
 
-    return chained, capacity, budget
+def _bucket_width(m: int, budget: int) -> int:
+    """Smallest power-of-two >= m (clamped to budget): the all-gather
+    width is bounded by twice the largest actual compressed size while
+    keeping the number of compiled gather programs logarithmic."""
+    w = 64
+    while w < m:
+        w *= 2
+    return min(w, budget)
+
+
+@functools.lru_cache(maxsize=512)
+def _bucket_gather(mesh: Mesh, axis_name: str, width: int):
+    """Jitted ICI all-gather of the first `width` byte columns of a
+    tile-sharded compressed plane."""
+    batch_spec = NamedSharding(mesh, P(axis_name))
+    replicated = NamedSharding(mesh, P())
+    return jax.jit(
+        lambda b: b[:, :width],
+        in_shardings=batch_spec,
+        out_shardings=replicated,
+    )
 
 
 def encode_image_sharded(
@@ -189,7 +207,7 @@ def encode_image_sharded(
     gathered via ICI, container assembled on host. Byte-identical to
     the single-chip encode()."""
     from ako_tpu.core import container
-    from ako_tpu.encode import _CAPACITY_MARGIN, _tile_encoder, checked_settings
+    from ako_tpu.encode import _CAPACITY_MARGIN, checked_settings
     from ako_tpu.runtime.kagari import BLOCK_HEAD, compress_block
     from ako_tpu.core.settings import AkoError, Status
 
@@ -205,7 +223,7 @@ def encode_image_sharded(
 
     blocks: list[Optional[bytes]] = [None] * len(grid)
     for (tw, th), tiles in by_shape.items():
-        fn, capacity, budget = _sharded_tile_encoder_fused(
+        fwd, pack, capacity, budget = _sharded_tile_encoder_fused(
             mesh, axis_name, tw, th, channels, s.wavelet, s.wrap, s.color,
             bool(s.discard_non_visible), s.quantization, s.gate, s.chroma_loss,
         )
@@ -217,7 +235,8 @@ def encode_image_sharded(
             batch = np.concatenate(
                 [batch, np.zeros((padded - len(tiles),) + batch.shape[1:], np.uint8)]
             )
-        comp_bytes, totals_dev = fn(jnp.asarray(batch))
+        stream_dev = fwd(jnp.asarray(batch))
+        comp_bytes, totals_dev = pack(stream_dev)
         totals = np.asarray(totals_dev)
 
         fallback = []
@@ -227,20 +246,20 @@ def encode_image_sharded(
                 fallback.append(i)
         ok = [i for i in range(len(tiles)) if i not in set(fallback)]
         if ok:
+            # gather only up to the largest actual compressed size
+            # (bucketed): moved bytes scale with content, not budget
             m = int(max(totals[i] for i in ok))
-            host_bytes = np.asarray(comp_bytes[:, :m])
+            gather = _bucket_gather(mesh, axis_name, _bucket_width(m, budget))
+            host_bytes = np.asarray(gather(comp_bytes))
             for i in ok:
                 n = int(totals[i])
                 blocks[tiles[i].index] = (
                     BLOCK_HEAD.pack(n) + host_bytes[i, :n].tobytes()
                 )
         if fallback:
-            sfn = _tile_encoder(
-                tw, th, channels, s.wavelet, s.wrap, s.color,
-                bool(s.discard_non_visible), s.quantization, s.gate,
-                s.chroma_loss,
-            )
-            streams = np.asarray(sfn(jnp.asarray(batch[fallback])))
+            # near-capacity tiles: reuse the sharded coefficient stream
+            # (no recompute), host coder decides exact failure semantics
+            streams = np.asarray(stream_dev[jnp.asarray(fallback)])
             for j, i in enumerate(fallback):
                 block = compress_block(streams[j], capacity + BLOCK_HEAD.size)
                 if block is None:

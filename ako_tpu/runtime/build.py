@@ -78,5 +78,18 @@ def load() -> ctypes.CDLL:
             ctypes.c_void_p,
             ctypes.c_size_t,
         ]
+        lib.akort_kagari_sync.restype = ctypes.c_size_t
+        lib.akort_kagari_sync.argtypes = [
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_size_t,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
         _lib = lib
         return _lib

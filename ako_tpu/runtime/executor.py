@@ -201,17 +201,38 @@ class PipelineDecoder:
                 image[t.y : t.y + th, t.x : t.x + tw, :] = pixels[i]
         return image
 
+    def _dispatch_blob(self, blob: bytes, pool, device_entropy: bool):
+        """One blob -> dispatch records + image shape, via the fused
+        device-entropy decoder (sync scan only on host) when available,
+        else the host entropy stage."""
+        from ako_tpu.decode import (
+            _check_decode_budget,
+            dispatch_tiles_device_entropy,
+        )
+
+        view = memoryview(blob)
+        channels, w, h, s = container.head_read(view)
+        _check_decode_budget(w, h, channels)
+        if device_entropy and s.compression == Compression.KAGARI:
+            grid = geometry.tile_grid(w, h, s.tiles_dimension)
+            disp = dispatch_tiles_device_entropy(
+                view, container.HEAD_SIZE, grid, s, channels, pool
+            )
+            return disp, (h, w, channels)
+        streams, grid, channels, s, (h, w) = self._entropy_stage(blob, pool)
+        return self._dispatch_device(streams, grid, channels, s), (h, w, channels)
+
     def decode_iter(self, blobs: Iterable[bytes]) -> Iterator[np.ndarray]:
+        device_entropy = jax.default_backend() != "cpu"
         with cf.ThreadPoolExecutor(max_workers=self.workers) as pool, \
                 cf.ThreadPoolExecutor(max_workers=1) as io:
             fut = None
             for blob in blobs:
-                streams, grid, channels, s, (h, w) = self._entropy_stage(blob, pool)
-                disp = self._dispatch_device(streams, grid, channels, s)
+                disp, shape = self._dispatch_blob(blob, pool, device_entropy)
                 if fut is not None:
                     yield fut.result()
                 # pixel drain of this image rides the IO thread while
                 # the next blob's entropy decode + upload proceed
-                fut = io.submit(self._collect, disp, (h, w, channels))
+                fut = io.submit(self._collect, disp, shape)
             if fut is not None:
                 yield fut.result()

@@ -304,3 +304,134 @@ API size_t akort_kagari_decode(size_t count, const void *input, size_t input_siz
 
 	return (size_t)(src.pos - (const uint8_t *)input);
 }
+
+/* ------------------------------------------------------------------ */
+/* Sync scan for the device-side parallel decoder                      */
+
+/* consec sentinel: "first output of the stream pending" (the reference
+   writes the first literal without any run-comparison, kagari.c:322) */
+#define SYNC_FIRST 0xFFFFu
+
+/*
+Walk the Kagari stream exactly like akort_kagari_decode, but instead of
+writing values, record the decoder state at every `block`-th output
+position: (logical bit offset of the next unread code, previous value,
+consecutive-equal count, remaining run length). A TPU program then
+decodes all blocks in parallel from these sync points, bit-exactly
+(ops/kagari_device.py:kagari_decode_device).
+
+The logical bit offset is the sum of consumed code lengths; it is
+independent of the byte-granular accumulator readahead. Failure
+conditions mirror akort_kagari_decode one-for-one (same BitSource, same
+output-capacity checks), so the device path errors exactly when the
+host path would (reference kagari.c:301-366).
+
+Returns consumed input bytes (cursor position including readahead, the
+same value akort_kagari_decode returns) or 0 on broken input. Writes
+ceil(count/block) records.
+*/
+API size_t akort_kagari_sync(size_t count, const void *input, size_t input_size,
+                             size_t output_size, size_t block,
+                             uint32_t *bit_off, int16_t *prev_arr,
+                             uint16_t *consec_arr, uint16_t *run_arr,
+                             uint32_t *max_code_bits)
+{
+	BitSource src = {0, 0, (const uint8_t *)input,
+	                 (const uint8_t *)input + input_size};
+
+	if (output_size == 0 || input_size == 0 || count == 0 || block == 0 ||
+	    (output_size % 2) != 0)
+		return 0;
+
+	const size_t out_cap = output_size / 2;
+	const size_t n_rec = (count + block - 1) / block;
+	size_t no = count;
+	size_t out_idx = 0;
+	size_t rec = 0;
+	uint32_t bitpos = 0;
+	uint32_t maxbits = 0;
+	int16_t prev = 0;
+	uint32_t run = 0;
+	int bits = 0;
+	uint16_t u;
+	int16_t v;
+
+#define SYNC_BITS()                                                       \
+	do {                                                                  \
+		if ((uint32_t)bits > maxbits)                                     \
+			maxbits = (uint32_t)bits;                                     \
+	} while (0)
+
+#define SYNC_EMIT(consec_v, runrem_v)                                     \
+	do {                                                                  \
+		if (rec < n_rec && out_idx % block == 0) {                        \
+			bit_off[rec] = bitpos;                                        \
+			prev_arr[rec] = prev;                                         \
+			consec_arr[rec] = (uint16_t)(consec_v);                       \
+			run_arr[rec] = (uint16_t)(runrem_v);                          \
+			rec++;                                                        \
+		}                                                                 \
+	} while (0)
+
+	/* first value: written without run comparison (kagari.c:322) */
+	SYNC_EMIT(SYNC_FIRST, 0);
+	u = source_get(&src, &bits);
+	if (bits == 0)
+		return 0;
+	SYNC_BITS();
+	bitpos += (uint32_t)bits;
+	prev = unzigzag16((uint16_t)(u - 1));
+	out_idx++;
+	no--;
+
+	for (; no != 0; no--) {
+		if (out_idx >= out_cap)
+			return 0;
+		SYNC_EMIT(run, 0);
+
+		bits = 0;
+		u = source_get(&src, &bits);
+		if (bits == 0)
+			return 0;
+		SYNC_BITS();
+		bitpos += (uint32_t)bits;
+		v = unzigzag16((uint16_t)(u - 1));
+
+		if (v == prev) {
+			out_idx++;
+			run++;
+			if (run == RLE_TRIGGER) {
+				bits = 0;
+				const uint16_t rle_raw = source_get(&src, &bits);
+				if (bits == 0)
+					return 0;
+				SYNC_BITS();
+				bitpos += (uint32_t)bits;
+				const uint16_t rle_len = (uint16_t)(rle_raw - 1);
+				if (out_idx + (size_t)rle_len > out_cap)
+					return 0;
+				for (size_t i = 0; i < (size_t)rle_len; i++) {
+					if (rec < n_rec && out_idx % block == 0) {
+						bit_off[rec] = bitpos;
+						prev_arr[rec] = prev;
+						consec_arr[rec] = 0;
+						run_arr[rec] = (uint16_t)(rle_len - i);
+						rec++;
+					}
+					out_idx++;
+				}
+				run = 0;
+				no -= rle_len; /* may wrap; caught by out_cap check */
+			}
+		} else {
+			out_idx++;
+			prev = v;
+			run = 0;
+		}
+	}
+
+#undef SYNC_EMIT
+#undef SYNC_BITS
+	*max_code_bits = maxbits;
+	return (size_t)(src.pos - (const uint8_t *)input);
+}

@@ -99,19 +99,28 @@ class _CachedEncoder:
         return checked_settings(self.base.replace(quantization=q))
 
     def _tile_pyramids(self, s: Settings):
+        """Shape-grouped batched pyramids: one device program per
+        distinct tile shape over all same-shaped tiles (round 1 ran
+        per-tile batch=1 dispatches, serializing transfers)."""
         key = s.color
         if key in self._pyramids:
             return self._pyramids[key]
         grid = geometry.tile_grid(self.w, self.h, s.tiles_dimension)
-        out = []
+        by_shape: Dict[tuple, list] = {}
         for t in grid:
+            by_shape.setdefault((t.w, t.h), []).append(t)
+        out = []
+        for (tw, th), tiles in by_shape.items():
             fn = _pyramid_fn(
-                t.w, t.h, self.channels, s.wavelet, s.wrap, s.color,
+                tw, th, self.channels, s.wavelet, s.wrap, s.color,
                 bool(s.discard_non_visible),
             )
-            tile = self.image[t.y : t.y + t.h, t.x : t.x + t.w, :]
-            lp, quads = fn(jnp.asarray(tile[None]))
-            out.append((t, lp, quads))
+            batch = np.stack(
+                [self.image[t.y : t.y + th, t.x : t.x + tw, :] for t in tiles],
+                axis=0,
+            )
+            lp, quads = fn(jnp.asarray(batch))
+            out.append((tiles, lp, quads))
         self._pyramids[key] = out
         return out
 
@@ -120,20 +129,23 @@ class _CachedEncoder:
         fails, like the reference's error path)."""
         s = self._settings_at(q)
         head = container.head_write(self.channels, self.w, self.h, s)
-        blocks = [head]
-        for t, lp, quads in self._tile_pyramids(s):
-            schedule = geometry.lift_schedule(t.w, t.h)
+        grid_n = len(geometry.tile_grid(self.w, self.h, s.tiles_dimension))
+        blocks: list = [None] * grid_n
+        for tiles, lp, quads in self._tile_pyramids(s):
+            tw, th = tiles[0].w, tiles[0].h
+            schedule = geometry.lift_schedule(tw, th)
             qg = level_qg(schedule, self.channels, s.quantization, s.gate, s.chroma_loss)
             qs = jnp.asarray([list(lv[0]) for lv in qg], dtype=jnp.int16)
             gs = jnp.asarray([list(lv[1]) for lv in qg], dtype=jnp.int16)
-            ser = _serialize_fn(t.w, t.h, self.channels, len(schedule.levels))
-            stream = np.asarray(ser(lp, quads, qs, gs))[0]
-            tds = geometry.tile_data_size(t.w, t.h) * self.channels
-            block = compress_block(stream, tds)
-            if block is None:
-                return None
-            blocks.append(block)
-        return b"".join(blocks)
+            ser = _serialize_fn(tw, th, self.channels, len(schedule.levels))
+            streams = np.asarray(ser(lp, quads, qs, gs))  # (T, n)
+            tds = geometry.tile_data_size(tw, th) * self.channels
+            for i, t in enumerate(tiles):
+                block = compress_block(streams[i], tds)
+                if block is None:
+                    return None
+                blocks[t.index] = block
+        return head + b"".join(blocks)
 
     def size_at(self, q: int) -> int:
         blob = self.encode_at(q)

@@ -37,7 +37,13 @@ TILES = 128
 def synth_images(rng, n: int) -> list:
     """Photograph-like content (smooth structure + noise) so quantized
     coefficient statistics and Kagari run lengths are realistic; each
-    image in the stream is a distinct crop/phase."""
+    image in the stream is a distinct crop/phase.
+
+    BASELINE.md anchors on the reference README's cafe/tractor
+    showcases; those PNGs are not present in the reference checkout
+    and the environment has no network, so this synthesizes content at
+    cafe's exact dimensions (1024x1280 RGBA) with matched compressed
+    statistics (~5-6:1 at q=16 vs cafe's 12:1 at its showcase q)."""
     out = []
     y, x = np.mgrid[0:H, 0:W].astype(np.float32)
     for k in range(n):
@@ -91,6 +97,11 @@ def bench_ref(images, settings):
     return t_enc + t_dec, blobs, outs
 
 
+#: the tunneled host<->device link swings +-40% between runs, so the
+#: reported value is the median of this many timed passes
+RUNS = 3
+
+
 def main() -> int:
     import ako_tpu
 
@@ -98,36 +109,43 @@ def main() -> int:
     images = synth_images(rng, STREAM_N)
     settings = ako_tpu.Settings(quantization=16, tiles_dimension=TILES)
 
-    t_ours, blobs_ours, outs_ours = bench_ours(images, settings)
+    times_ours = []
+    for _ in range(RUNS):
+        t, blobs_ours, outs_ours = bench_ours(images, settings)
+        times_ours.append(t)
+    t_ours = sorted(times_ours)[RUNS // 2]
     mps = STREAM_N * MEGAPIXELS / t_ours
 
-    vs_baseline = 0.0
-    try:
-        t_ref, blobs_ref, outs_ref = bench_ref(images, settings)
-        exact = all(a == b for a, b in zip(blobs_ours, blobs_ref)) and all(
-            np.array_equal(a, b) for a, b in zip(outs_ours, outs_ref)
-        )
-        if not exact:
-            print(
-                json.dumps(
-                    {
-                        "metric": "pipelined encode+decode MP/s (1024x1280 RGBA q16)",
-                        "value": 0.0,
-                        "unit": "MP/s",
-                        "vs_baseline": 0.0,
-                        "error": "NOT bit-exact vs reference",
-                    }
-                )
+    # The oracle is a hard requirement: a broken oracle build must fail
+    # the benchmark loudly, not quietly report vs_baseline 0.
+    times_ref = []
+    for _ in range(RUNS):
+        t, blobs_ref, outs_ref = bench_ref(images, settings)
+        times_ref.append(t)
+    t_ref = sorted(times_ref)[RUNS // 2]
+
+    exact = all(a == b for a, b in zip(blobs_ours, blobs_ref)) and all(
+        np.array_equal(a, b) for a, b in zip(outs_ours, outs_ref)
+    )
+    if not exact:
+        print(
+            json.dumps(
+                {
+                    "metric": "pipelined encode+decode MP/s (1024x1280 RGBA q16)",
+                    "value": 0.0,
+                    "unit": "MP/s",
+                    "vs_baseline": 0.0,
+                    "error": "NOT bit-exact vs reference",
+                }
             )
-            return 1
-        vs_baseline = t_ref / t_ours
-    except Exception:
-        pass  # reference unavailable: report absolute number only
+        )
+        return 1
+    vs_baseline = t_ref / t_ours
 
     print(
         json.dumps(
             {
-                "metric": "pipelined encode+decode MP/s (1024x1280 RGBA q16, bit-exact)",
+                "metric": "pipelined encode+decode MP/s (1024x1280 RGBA q16, bit-exact, median of %d)" % RUNS,
                 "value": round(mps, 3),
                 "unit": "MP/s",
                 "vs_baseline": round(vs_baseline, 3),
