@@ -285,10 +285,14 @@ def dispatch_tiles_device_entropy(view, cursor: int, grid, s: Settings, channels
         else:
             per_shape.setdefault((t.w, t.h), []).append((t, payload, sync))
 
+    from ako_tpu.ops.kagari_device import DECODE_SLACK_WORDS
+
     dispatched = []
     for (tw, th), items in per_shape.items():
         count = tile_block_sizes(items[0][0], s, channels)[0] // 2
-        wcap = _bucket_words(max((len(p) + 3) // 4 + 2 for _, p, _ in items))
+        wcap = _bucket_words(
+            max((len(p) + 3) // 4 + DECODE_SLACK_WORDS for _, p, _ in items)
+        )
         words = np.stack([_payload_words(p, wcap) for _, p, _ in items])
         bit_off = np.stack([sy[0] for _, _, sy in items])
         prev = np.stack([sy[1] for _, _, sy in items])

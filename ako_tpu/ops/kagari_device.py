@@ -307,6 +307,10 @@ SYNC_FIRST = 0xFFFF
 #: sync record (runtime.kagari.kagari_sync) and decodes independently
 DECODE_BLOCK = 128
 
+#: word-buffer slack callers must pad beyond the compressed bytes so
+#: the window init and per-step refills never read past the buffer
+DECODE_SLACK_WORDS = 2
+
 
 def _gamma_at(hi, lo, cur):
     """Decode one gamma code from the 64-bit window (hi, lo) at bit

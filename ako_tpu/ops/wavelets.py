@@ -194,21 +194,12 @@ def _interleave(ev, od, axis):
 # Forward lifting
 
 
-def lift1d(wavelet: Wavelet, wrap: Wrap, x, fake_last: int, axis: int,
-           axis_name: str | None = None):
-    """One forward lift along `axis`. x is int16 of even-or-odd length
-    2t - fake_last; returns (lp, hp), each int16 of length t.
-
-    A fake trailing odd sample equal to the last even is fabricated when
-    the source length is odd (library/lifting.c:46-47). With `axis_name`
-    the lifted axis is sharded over that mesh axis and edge taps ride a
-    ppermute halo exchange (fake_last must be 0 then)."""
-    assert not (axis_name and fake_last), "sharded lift requires even length"
-    ev = i32(_stride2(x, 0, axis))
-    od = i32(_stride2(x, 1, axis))
-    if fake_last:
-        od = jnp.concatenate([od, _sl(ev, -1, None, axis)], axis=axis)
-
+def lift_core(wavelet: Wavelet, wrap: Wrap, ev, od, axis: int,
+              axis_name: str | None = None):
+    """Forward lift formulas on pre-split even/odd streams (int32),
+    shifts along `axis`; returns (lp, hp) int16. Shared by the strided
+    XLA path (lift1d) and the Pallas kernels, whose even/odd split is a
+    sublane reshape instead of a strided slice (ops/pallas_lift.py)."""
     if wavelet == Wavelet.HAAR:
         return i16(ev), i16(od - ev)
 
@@ -231,6 +222,23 @@ def lift1d(wavelet: Wavelet, wrap: Wrap, x, fake_last: int, axis: int,
     hp_l2 = _shift_prev2(hp32, axis, wrap, axis_name)
     lp = i16(ev + div32(-hp_l2 - hp_p1 + 9 * (hp_l1 + hp32)))
     return lp, hp
+
+
+def lift1d(wavelet: Wavelet, wrap: Wrap, x, fake_last: int, axis: int,
+           axis_name: str | None = None):
+    """One forward lift along `axis`. x is int16 of even-or-odd length
+    2t - fake_last; returns (lp, hp), each int16 of length t.
+
+    A fake trailing odd sample equal to the last even is fabricated when
+    the source length is odd (library/lifting.c:46-47). With `axis_name`
+    the lifted axis is sharded over that mesh axis and edge taps ride a
+    ppermute halo exchange (fake_last must be 0 then)."""
+    assert not (axis_name and fake_last), "sharded lift requires even length"
+    ev = i32(_stride2(x, 0, axis))
+    od = i32(_stride2(x, 1, axis))
+    if fake_last:
+        od = jnp.concatenate([od, _sl(ev, -1, None, axis)], axis=axis)
+    return lift_core(wavelet, wrap, ev, od, axis, axis_name)
 
 
 def lift2d(wavelet_eff: Wavelet, wrap: Wrap, x, level):

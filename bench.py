@@ -59,7 +59,10 @@ def synth_images(rng, n: int) -> list:
         img[..., 1] = base * 0.8 + 30 * np.cos(x / 41.0 + k)
         img[..., 2] = base * 0.6 + 50 * np.sin(y / 83.0 - k)
         img[..., 3] = 255.0
-        img += rng.normal(0, 6.0, size=img.shape).astype(np.float32)
+        # photographic grain level: sigma 2.5 lands the q16 compressed
+        # ratio near real photographs' (cafe's showcase statistics);
+        # sigma 6 was closer to sensor noise than to a photo
+        img += rng.normal(0, 2.5, size=img.shape).astype(np.float32)
         out.append(np.clip(img, 0, 255).astype(np.uint8))
     return out
 

@@ -121,7 +121,11 @@ class TestRankChunked:
             np.testing.assert_array_equal(got, ref)
 
 
-def _bytes_to_words(payload: bytes, slack: int = 2) -> np.ndarray:
+def _bytes_to_words(payload: bytes, slack: int | None = None) -> np.ndarray:
+    from ako_tpu.ops.kagari_device import DECODE_SLACK_WORDS
+
+    if slack is None:
+        slack = DECODE_SLACK_WORDS
     pad = (-len(payload)) % 4
     buf = payload + b"\x00" * (pad + 4 * slack)
     return np.frombuffer(buf, dtype=">u4").astype(np.uint32)
