@@ -205,6 +205,15 @@ def read_tile_stream(view, cursor: int, t, s: Settings, channels: int):
     return values, cursor + tds
 
 
+def _bucket_span(m: int) -> int:
+    """Power-of-two bucketed decode window span: keeps the number of
+    compiled entropy-decode programs logarithmic in content variety."""
+    w = 8
+    while w < m:
+        w *= 2
+    return w
+
+
 def _bucket_words(m: int) -> int:
     """Power-of-two padded word capacity for the compressed-stream
     upload: bounds transferred bytes to <= 2x the largest actual
@@ -216,14 +225,18 @@ def _bucket_words(m: int) -> int:
 
 
 @functools.lru_cache(maxsize=256)
-def _entropy_decode_fn(n_outputs: int, block: int, words_cap: int):
+def _entropy_decode_fn(n_outputs: int, block: int, words_cap: int, span: int):
     """Jitted batched device entropy decode: (T, words_cap) u32 +
-    (T, B) sync arrays -> (T, n_outputs) int16 coefficient streams."""
+    (T, B) sync arrays -> (T, n_outputs) int16 coefficient streams.
+    `span` is the bucketed per-block word-window width (see
+    kagari_device.decode_span_words)."""
     from ako_tpu.ops.kagari_device import kagari_decode_device
 
     def fn(words, bit_off, prev, consec, run):
         return jax.vmap(
-            lambda w, b, p, c, r: kagari_decode_device(w, b, p, c, r, n_outputs, block)
+            lambda w, b, p, c, r: kagari_decode_device(
+                w, b, p, c, r, n_outputs, block, span
+            )
         )(words, bit_off, prev, consec, run)
 
     return jax.jit(fn)
@@ -285,7 +298,7 @@ def dispatch_tiles_device_entropy(view, cursor: int, grid, s: Settings, channels
         else:
             per_shape.setdefault((t.w, t.h), []).append((t, payload, sync))
 
-    from ako_tpu.ops.kagari_device import DECODE_SLACK_WORDS
+    from ako_tpu.ops.kagari_device import DECODE_SLACK_WORDS, decode_span_words
 
     dispatched = []
     for (tw, th), items in per_shape.items():
@@ -298,7 +311,13 @@ def dispatch_tiles_device_entropy(view, cursor: int, grid, s: Settings, channels
         prev = np.stack([sy[1] for _, _, sy in items])
         consec = np.stack([sy[2] for _, _, sy in items])
         run = np.stack([sy[3] for _, _, sy in items])
-        efn = _entropy_decode_fn(count, DECODE_BLOCK, wcap)
+        span = _bucket_span(
+            max(
+                decode_span_words(sy[0], len(p) * 8)
+                for _, p, sy in items
+            )
+        )
+        efn = _entropy_decode_fn(count, DECODE_BLOCK, wcap, min(span, wcap))
         streams_dev = efn(
             device_put_parallel(words),
             jnp.asarray(bit_off),

@@ -24,15 +24,19 @@ zero padding of the final byte; only its *failure* conditions differ,
 so callers must fall back to the host coder when the result lands
 within a few bytes of the capacity (see runtime/kagari.py).
 
-The decoder stays on the host: a gamma stream's code boundaries are
-prefix-sequential, so decode parallelism comes from independent tiles
-instead (runtime/executor.py).
+The decoder (kagari_decode_device) parallelizes the prefix-sequential
+gamma stream over fixed-size output blocks: a host scanner
+(runtime.kagari.kagari_sync) finds each block's bit offset and carry
+state, then every block decodes independently on device as one lane of
+a `block`-step scan whose word accesses are gather-free (per-block
+word windows carried through the scan).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 RLE_TRIGGER = 2
 VALUE_MAX = 65535
@@ -330,20 +334,6 @@ def _gamma_at(hi, lo, cur):
     return u, length
 
 
-def _refill(hi, lo, cur, wptr, words):
-    """Shift one word into the window when the cursor has crossed it.
-    One refill always restores cur <= 31 (codes consume <= 31 bits
-    from cur <= 31)."""
-    need = cur >= 32
-    w = words[jnp.clip(wptr, 0, words.shape[0] - 1)]
-    return (
-        jnp.where(need, lo, hi),
-        jnp.where(need, w, lo),
-        jnp.where(need, cur - 32, cur),
-        jnp.where(need, wptr + 1, wptr),
-    )
-
-
 def _unzigzag(u):
     """Gamma value u -> int16-valued int32: (u-1) & 0xFFFF, zigzag
     decode, sign-extend (kagari.c:176-179 semantics)."""
@@ -353,8 +343,21 @@ def _unzigzag(u):
     return x - ((x & 0x8000) << 1)
 
 
+def decode_span_words(bit_offsets, total_bits: int, slack: int = 3) -> int:
+    """Host-side exact window width for kagari_decode_device: the
+    maximum number of 32-bit words any block's decode touches, from the
+    sync records' bit offsets. `slack` covers the 2-word hi/lo prefetch
+    beyond the last genuinely consumed word."""
+    boff = np.asarray(bit_offsets, np.int64)
+    if boff.size == 0:
+        return slack
+    ends = np.concatenate([boff[1:], np.asarray([max(total_bits, 1)], np.int64)])
+    spans = (ends - 1) // 32 - boff // 32 + 1
+    return int(spans.max()) + slack
+
+
 def kagari_decode_device(words, bit_off, prev0, consec0, run0, n_outputs: int,
-                         block: int = DECODE_BLOCK):
+                         block: int = DECODE_BLOCK, span: int | None = None):
     """Device-side parallel Kagari decode of one tile's stream.
 
     words: (W,) uint32 — the compressed bytes as big-endian-bit words,
@@ -366,25 +369,50 @@ def kagari_decode_device(words, bit_off, prev0, consec0, run0, n_outputs: int,
     emits exactly one value (a literal, or one repeat of the pending
     run) and consumes 0, 1 (literal) or 2 (literal + run token)
     codes. Returns (n_outputs,) int16, bit-exact with the host
-    decoder for every stream whose codes are <= 31 bits."""
+    decoder for every stream whose codes are <= 31 bits.
+
+    `span` is the per-block word-window width (>= every block's true
+    word span + 2-word prefetch; compute via decode_span_words). Each
+    lane's window is sliced out of `words` with ONE gather up front and
+    then carried through the scan — a refill takes the window's front
+    word and shifts it left, so the hot loop has no gathers at all
+    (the round-2 per-step `words[wptr]` gathers cost ~104 ms/image vs
+    ~15 ms for this formulation). None = whole-stream windows (always
+    safe; memory-proportionate only for small streams — tests)."""
+    wcap = words.shape[0]
+    if span is None:
+        span = wcap
+    span = max(3, min(span, wcap))
     prev = prev0.astype(jnp.int32)
     consec = consec0.astype(jnp.uint16).astype(jnp.int32)
     runrem = run0.astype(jnp.uint16).astype(jnp.int32)
     boff = bit_off.astype(jnp.uint32)
-    wptr0 = (boff >> 5).astype(jnp.int32)
+    word0 = (boff >> 5).astype(jnp.int32)
     cur = boff & jnp.uint32(31)
-    wcap = words.shape[0]
-    hi = words[jnp.clip(wptr0, 0, wcap - 1)]
-    lo = words[jnp.clip(wptr0 + 1, 0, wcap - 1)]
-    wptr = wptr0 + 2
+    idx = jnp.clip(
+        word0[:, None] + jnp.arange(span, dtype=jnp.int32)[None, :], 0, wcap - 1
+    )
+    win = words[idx]  # (B, span): the one gather
+    hi, lo, rest = win[:, 0], win[:, 1], win[:, 2:]
+
+    def refill(hi, lo, cur, rest):
+        need = cur >= 32
+        hi2 = jnp.where(need, lo, hi)
+        lo2 = jnp.where(need, rest[:, 0], lo)
+        rest2 = jnp.where(
+            need[:, None],
+            jnp.concatenate([rest[:, 1:], rest[:, :1] * 0], axis=1),
+            rest,
+        )
+        return hi2, lo2, jnp.where(need, cur - 32, cur), rest2
 
     def step(state, _):
-        hi, lo, cur, wptr, prev, consec, runrem = state
+        hi, lo, cur, rest, prev, consec, runrem = state
         in_run = runrem > 0
         u, ln = _gamma_at(hi, lo, cur)
         v = _unzigzag(u)
         cur = cur + jnp.where(in_run, 0, ln).astype(jnp.uint32)
-        hi, lo, cur, wptr = _refill(hi, lo, cur, wptr, words)
+        hi, lo, cur, rest = refill(hi, lo, cur, rest)
 
         first = consec == SYNC_FIRST
         eq = (~first) & (~in_run) & (v == prev)
@@ -392,16 +420,16 @@ def kagari_decode_device(words, bit_off, prev0, consec0, run0, n_outputs: int,
         trigger = (~in_run) & (consec_lit == RLE_TRIGGER)
         u2, ln2 = _gamma_at(hi, lo, cur)
         cur = cur + jnp.where(trigger, ln2, 0).astype(jnp.uint32)
-        hi, lo, cur, wptr = _refill(hi, lo, cur, wptr, words)
+        hi, lo, cur, rest = refill(hi, lo, cur, rest)
         rle_len = ((u2 - jnp.uint32(1)) & jnp.uint32(0xFFFF)).astype(jnp.int32)
 
         out = jnp.where(in_run, prev, v)
         prev_n = jnp.where(in_run | eq, prev, v)
         runrem_n = jnp.where(in_run, runrem - 1, jnp.where(trigger, rle_len, 0))
         consec_n = jnp.where(in_run, consec, jnp.where(trigger, 0, consec_lit))
-        return (hi, lo, cur, wptr, prev_n, consec_n, runrem_n), out.astype(jnp.int16)
+        return (hi, lo, cur, rest, prev_n, consec_n, runrem_n), out.astype(jnp.int16)
 
-    state0 = (hi, lo, cur, wptr, prev, consec, runrem)
+    state0 = (hi, lo, cur, rest, prev, consec, runrem)
     _, ys = jax.lax.scan(step, state0, None, length=block)  # (block, B)
     return ys.T.reshape(-1)[:n_outputs]
 

@@ -154,19 +154,25 @@ class TestDeviceDecode:
         assert consumed == ref[1]
         if max_bits > 31:
             return None  # host-fallback streams, not device-decodable
+        from ako_tpu.ops.kagari_device import decode_span_words
+
         words = _bytes_to_words(payload)
-        got = np.asarray(
-            kagari_decode_device(
-                jnp.asarray(words),
-                jnp.asarray(bit_off),
-                jnp.asarray(prev),
-                jnp.asarray(consec),
-                jnp.asarray(run),
-                n,
-                block,
+        # both window widths: whole-stream (span=None) and the exact
+        # per-block span the production decode path computes
+        for span in (None, decode_span_words(bit_off, len(payload) * 8)):
+            got = np.asarray(
+                kagari_decode_device(
+                    jnp.asarray(words),
+                    jnp.asarray(bit_off),
+                    jnp.asarray(prev),
+                    jnp.asarray(consec),
+                    jnp.asarray(run),
+                    n,
+                    block,
+                    span,
+                )
             )
-        )
-        np.testing.assert_array_equal(got, ref[0])
+            np.testing.assert_array_equal(got, ref[0])
         return got
 
     @pytest.mark.parametrize("block", [8, 128])
