@@ -41,8 +41,11 @@ def _tile_decoder(
     wrap: Wrap,
     color: Color,
 ):
-    """Jitted device program: (T, coeff_count) int16 -> (T, tile_h,
-    tile_w, channels) u8 tiles."""
+    """Jitted device program: (T, coeff_count) int16 -> tuple of
+    leading-axis bands of (T, tile_h, tile_w, channels) u8 tiles
+    (band_split: fetch-friendly distinct outputs)."""
+    from ako_tpu.runtime.transfer import band_split
+
     schedule = geometry.lift_schedule(tile_w, tile_h)
 
     def fn(coeffs):
@@ -50,7 +53,7 @@ def _tile_decoder(
             planes = coeffs.reshape(coeffs.shape[:-1] + (channels, tile_h, tile_w))
         else:
             planes = inverse_tile(coeffs, schedule, wavelet, wrap, channels)
-        return to_interleaved_u8(planes, color, channels)
+        return band_split(to_interleaved_u8(planes, color, channels))
 
     return jax.jit(fn)
 
@@ -84,6 +87,8 @@ def _tile_decoder_split(
     as int16 — roughly halving the dominant host->device transfer.
     Exactness is unaffected: the host checks |body| <= 127 first and
     falls back to the int16 program otherwise (decode())."""
+    from ako_tpu.runtime.transfer import band_split
+
     schedule = geometry.lift_schedule(tile_w, tile_h)
     split, stream_order = _tail_layout(schedule, channels)
 
@@ -102,7 +107,7 @@ def _tile_decoder_split(
                 off8 += body_len
         coeffs = jnp.concatenate(parts, axis=-1)
         planes = inverse_tile(coeffs, schedule, wavelet, wrap, channels)
-        return to_interleaved_u8(planes, color, channels)
+        return band_split(to_interleaved_u8(planes, color, channels))
 
     return jax.jit(fn), split, stream_order
 
@@ -373,16 +378,16 @@ def decode(
         _fire(events, 0, total, Event.COMPRESSION_START, events_user)
         dispatched = dispatch_tiles_device_entropy(view, cursor, grid, s, channels)
         _fire(events, 0, total, Event.COMPRESSION_END, events_user)
-        from ako_tpu.runtime.transfer import device_get_parallel
+        from ako_tpu.runtime.transfer import bands_ready, fetch_bands
 
         image = np.empty((image_h, image_w, channels), dtype=np.uint8)
         _fire(events, 0, total, Event.WAVELET_START, events_user)
         for _tiles, _th, _tw, pixels_dev in dispatched:
-            pixels_dev.block_until_ready()
+            bands_ready(pixels_dev)
         _fire(events, 0, total, Event.WAVELET_END, events_user)
         _fire(events, 0, total, Event.FORMAT_START, events_user)
         for tiles, th, tw, pixels_dev in dispatched:
-            pixels = device_get_parallel(pixels_dev)
+            pixels = fetch_bands(pixels_dev)
             for i, t in enumerate(tiles):
                 image[t.y : t.y + th, t.x : t.x + tw, :] = pixels[i]
         _fire(events, 0, total, Event.FORMAT_END, events_user)
@@ -405,13 +410,13 @@ def decode(
     for t in grid:
         by_shape.setdefault((t.w, t.h), []).append(t)
 
-    from ako_tpu.runtime.transfer import device_get_parallel
+    from ako_tpu.runtime.transfer import fetch_bands
 
     for (tw, th), tiles in by_shape.items():
         t0 = tiles[0].index
         _fire(events, t0, total, Event.WAVELET_START, events_user)
         batch = np.stack([streams[t.index] for t in tiles], axis=0)
-        pixels = device_get_parallel(_run_tile_decoder(batch, tw, th, channels, s))
+        pixels = fetch_bands(_run_tile_decoder(batch, tw, th, channels, s))
         _fire(events, t0, total, Event.WAVELET_END, events_user)
         _fire(events, t0, total, Event.FORMAT_START, events_user)
         for i, t in enumerate(tiles):
@@ -446,9 +451,11 @@ def decode_tiles_iter(blob: bytes, max_batch: int = 32):
     def flush():
         if not pending:
             return
+        from ako_tpu.runtime.transfer import fetch_bands
+
         tw, th = pending[0][0].w, pending[0][0].h
         batch = np.stack([v for _, v in pending], axis=0)
-        pixels = np.asarray(_run_tile_decoder(batch, tw, th, channels, s))
+        pixels = fetch_bands(_run_tile_decoder(batch, tw, th, channels, s))
         for (t, _), px in zip(pending, pixels):
             yield t, px
         pending.clear()

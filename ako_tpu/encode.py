@@ -40,6 +40,21 @@ from ako_tpu.runtime.kagari import BLOCK_HEAD, compress_block
 #: reference's bounds checks (kagari.c:66-78,95-110) decide
 _CAPACITY_MARGIN = 16
 
+_fetch_pool_inst = None
+
+
+def _fetch_pool():
+    """Small pool for overlapping the per-bucket compressed-byte
+    fetches in collect_tiles_blocks."""
+    global _fetch_pool_inst
+    if _fetch_pool_inst is None:
+        import concurrent.futures as cf
+
+        _fetch_pool_inst = cf.ThreadPoolExecutor(
+            max_workers=4, thread_name_prefix="ako-fetch"
+        )
+    return _fetch_pool_inst
+
 
 def checked_settings(s: Optional[Settings]) -> Settings:
     """YCoCg auto-switches to the x2-premultiplied variant when lossy
@@ -247,13 +262,29 @@ def collect_tiles_blocks(s: Settings, channels: int, grid, dispatched):
         if ok:
             from ako_tpu.runtime.transfer import device_get_parallel
 
-            m = int(max(totals[i] for i in ok))
-            host_bytes = device_get_parallel(comp_bytes[:, :m])
-            for i in ok:
-                n = int(totals[i])
-                out[tiles[i].index] = (
-                    BLOCK_HEAD.pack(n) + host_bytes[i, :n].tobytes()
-                )
+            # Bucketed fetch: tiles sorted by compressed size and split
+            # into a few contiguous groups, each fetched at its own max
+            # width, so fetched bytes track actual compressed size
+            # instead of the global per-image max. Widths round up to
+            # 4 KiB so the device slice shapes (and their compiled
+            # programs) recur across images.
+            order = sorted(ok, key=lambda i: int(totals[i]))
+            groups, rows = [], []
+            for group in np.array_split(np.asarray(order), min(4, len(order))):
+                if not len(group):
+                    continue
+                m = int(totals[group[-1]])
+                m = min(-(-max(m, 1) // 4096) * 4096, comp_bytes.shape[1])
+                groups.append(group)
+                rows.append(comp_bytes[jnp.asarray(group)][:, :m])
+            for group, host_bytes in zip(
+                groups, _fetch_pool().map(device_get_parallel, rows)
+            ):
+                for j, i in enumerate(group):
+                    n = int(totals[i])
+                    out[tiles[i].index] = (
+                        BLOCK_HEAD.pack(n) + host_bytes[j, :n].tobytes()
+                    )
         if fallback:
             from ako_tpu.runtime.transfer import device_get_parallel
 

@@ -191,12 +191,12 @@ class PipelineDecoder:
 
     @staticmethod
     def _collect(dispatched, shape):
-        from ako_tpu.runtime.transfer import device_get_parallel
+        from ako_tpu.runtime.transfer import fetch_bands
 
         h, w, channels = shape
         image = np.empty((h, w, channels), dtype=np.uint8)
         for tiles, th, tw, pixels_dev in dispatched:
-            pixels = device_get_parallel(pixels_dev)
+            pixels = fetch_bands(pixels_dev)
             for i, t in enumerate(tiles):
                 image[t.y : t.y + th, t.x : t.x + tw, :] = pixels[i]
         return image

@@ -261,10 +261,12 @@ class TestInt8SplitGuard:
         s = Settings(quantization=0, gate=0, color=Color.NONE)
         from ako_tpu.encode import checked_settings as _cs
 
-        out = np.asarray(_run_tile_decoder(stream, 32, 32, 1, _cs(s)))
+        from ako_tpu.runtime.transfer import fetch_bands
+
+        out = fetch_bands(_run_tile_decoder(stream, 32, 32, 1, _cs(s)))
         # int16 path taken: decode through the plain program agrees
         from ako_tpu.decode import _tile_decoder
 
         fn = _tile_decoder(32, 32, 1, s.wavelet, s.wrap, Color.NONE)
-        ref = np.asarray(fn(jnp.asarray(stream)))
+        ref = fetch_bands(fn(jnp.asarray(stream)))
         np.testing.assert_array_equal(out, ref)
