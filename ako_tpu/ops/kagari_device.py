@@ -42,14 +42,81 @@ RLE_TRIGGER = 2
 VALUE_MAX = 65535
 FLUSH_COUNTER = VALUE_MAX - 1  # run counter value that forces a token
 
-#: rank implementation used by pack_bits: "dense" (histogram/matmul,
-#: the fast path), "sort" (round-1 merge-sort rank), "chunked"
-#: (binary-search + row-gather; loses at realistic budgets)
-_RANK_IMPL = "dense"
+#: word-assembly implementation in pack_bits: "place" (direct dense
+#: placement — the fast path) or "rank" (rank + cumsum sampling,
+#: kept for A/B; its rank variant is chosen by _RANK_IMPL)
+_PACK_IMPL = "place"
+
+#: rank implementation when _PACK_IMPL == "rank": "dense2"
+#: (roll + coarse matmul), "dense" (one-hot matmul + lane-shift fold),
+#: "sort" (round-1 merge-sort rank), "chunked" (binary-search +
+#: row-gather; loses at realistic budgets)
+_RANK_IMPL = "dense2"
 
 
 def _exclusive_cumsum(x):
     return jnp.cumsum(x) - x
+
+
+#: chunk width for the triangular-matmul cumsum; 256 keeps single-limb
+#: in-chunk sums (values <= 255) within bf16/fp32 exact-integer range
+_CS_CHUNK = 256
+
+#: below this length the log-shift jnp.cumsum wins over staging the
+#: triangular matmul
+_CS_MXU_MIN = 4096
+
+
+def _tri_cumsum_rows(rows_bf16):
+    """(R, C) bf16 -> (R, C) fp32 inclusive in-chunk cumsum via one
+    upper-triangular MXU matmul. Exact while in-chunk sums stay below
+    2^24 (callers bound entries accordingly)."""
+    C = rows_bf16.shape[-1]
+    tri = jnp.triu(jnp.ones((C, C), jnp.bfloat16))
+    return jnp.matmul(rows_bf16, tri, preferred_element_type=jnp.float32)
+
+
+def _cumsum_mxu_u32(x):
+    """Inclusive cumsum mod 2^32 of a uint32 vector, via chunked
+    triangular MXU matmuls: one HBM pass + a tiny chunk-total cumsum,
+    instead of the log(n) full-array shift passes XLA emits for
+    jnp.cumsum (26.6 ms/img measured on the 80-tile batch vs ~3 ms for
+    this formulation).
+
+    Exactness: each 8-bit limb's in-chunk sums are <= 255*256 < 2^24
+    (exact in fp32), and the limb recombination / chunk-total addition
+    happen in wrapping uint32 — congruent mod 2^32 with the sequential
+    sum."""
+    m = x.shape[0]
+    if m < _CS_MXU_MIN:
+        return jnp.cumsum(x, dtype=jnp.uint32)
+    C = _CS_CHUNK
+    pad = (-m) % C
+    rows = jnp.pad(x, (0, pad)).reshape(-1, C)
+    local = jnp.zeros(rows.shape, jnp.uint32)
+    for k in range(4):
+        limb = ((rows >> (8 * k)) & jnp.uint32(0xFF)).astype(jnp.bfloat16)
+        cs = _tri_cumsum_rows(limb).astype(jnp.uint32)
+        local = local + (cs << (8 * k))
+    totals = local[:, -1]
+    base = jnp.cumsum(totals) - totals
+    return (local + base[:, None]).reshape(-1)[:m]
+
+
+def _excl_cumsum_mxu_small(x):
+    """Exclusive cumsum of an int32 vector with entries in [0, 255]
+    (gamma code lengths are <= 31): single-limb chunked triangular MXU
+    matmul. Exact: in-chunk sums <= 255*256 < 2^24, totals < 2^31."""
+    m = x.shape[0]
+    if m < _CS_MXU_MIN:
+        return _exclusive_cumsum(x)
+    C = _CS_CHUNK
+    pad = (-m) % C
+    rows = jnp.pad(x, (0, pad)).reshape(-1, C)
+    cs = _tri_cumsum_rows(rows.astype(jnp.bfloat16)).astype(jnp.int32)
+    totals = cs[:, -1]
+    base = jnp.cumsum(totals) - totals
+    return (cs + base[:, None]).reshape(-1)[:m] - x
 
 
 def tokenize(values):
@@ -121,6 +188,126 @@ _DENSE_CHUNK = 128
 #: sentinel larger than any reachable word index (streams are < 2^28
 #: bits) but safe against base+r overflow in int32
 _WORD_PAD = 1 << 28
+
+
+def _rank_dense2(word, n_queries: int):
+    """upper[q] = #(word <= q) for q = arange(n_queries): dense-inverse
+    rank, v2 placement.
+
+    v1 (_rank_dense) placed chunk-local histograms with a one-hot
+    matmul into a (C, Q+C) plane and summed its skew diagonals with a
+    lane-shift fold — measured 40 of the rank's 43 ms/img on chip (lane
+    shifts force full vector relayouts). v2 decomposes each chunk's
+    placement offset base_c = C*kc + rot_c and
+
+      1. rolls the (C, nc) transposed histogram DOWN its sublane axis
+         by rot_c per chunk (7 select+circular-shift passes over ~1 MB
+         — sublane moves, no lane relayout);
+      2. splits wrapped rows (r'' < rot: they belong to coarse block
+         kc+1) with a mask, and places both parts with two tiny
+         (C, nc) x (nc, ceil(Q/C)) bf16 MXU matmuls against one-hot
+         coarse-block matrices.
+
+    Exactness: histogram entries <= C = 128 are exact in bf16, the
+    matmul accumulates counts < 2^24 in fp32, and the roll/masks are
+    pure data movement."""
+    C = _DENSE_CHUNK
+    assert C & (C - 1) == 0 and C <= 256
+    m = word.shape[0]
+    pad = (-m) % C
+    wpad = jnp.pad(word, (0, pad), constant_values=_WORD_PAD)
+    rows = wpad.reshape(-1, C)  # (nc, C)
+    base = rows[:, 0]
+    r = jnp.arange(C, dtype=jnp.int32)
+    lh = jnp.sum(
+        (rows[:, :, None] - base[:, None, None]) == r[None, None, :],
+        axis=1,
+        dtype=jnp.int32,
+    )  # (nc, C)
+
+    kc = base // C  # coarse block (padded chunks: beyond every one-hot)
+    rot = base - C * kc  # fine shift in [0, C)
+    n_blocks = -(-n_queries // C)
+
+    # roll each chunk's histogram column down by rot_c (sublane axis)
+    B = lh.T.astype(jnp.bfloat16)  # (C, nc)
+    for k in range(C.bit_length() - 1):
+        s = 1 << k
+        rolled = jnp.concatenate([B[-s:], B[:-s]], axis=0)
+        B = jnp.where((rot[None, :] & s) != 0, rolled, B)
+    # rows r'' < rot wrapped around: they belong to block kc + 1
+    wrapped = r[:, None] < rot[None, :]  # (C, nc)
+    jq = jnp.arange(n_blocks, dtype=jnp.int32)
+    oh_main = (kc[:, None] == jq[None, :]).astype(jnp.bfloat16)  # (nc, nb)
+    oh_spill = ((kc + 1)[:, None] == jq[None, :]).astype(jnp.bfloat16)
+    O = jnp.matmul(
+        jnp.where(wrapped, jnp.bfloat16(0), B), oh_main,
+        preferred_element_type=jnp.float32,
+    ) + jnp.matmul(
+        jnp.where(wrapped, B, jnp.bfloat16(0)), oh_spill,
+        preferred_element_type=jnp.float32,
+    )  # (C, n_blocks): h[C*j + r''] = O[r'', j]
+    h = O.T.reshape(-1)[:n_queries].astype(jnp.int32)
+    return jnp.cumsum(h)
+
+
+def _place_words_u32(hi, lo, word, n_words: int):
+    """out[q] = Σ hi over tokens with word == q  +  Σ lo over tokens
+    with word == q-1 (wrapping uint32) — the word assembly of pack_bits
+    as ONE dense placement, with no rank, no big cumsums and no
+    gathers (v1's rank cost 43 ms/img and its cs[upper] gathers 27 of
+    the 87 ms pack on chip).
+
+    Same chunk/roll/coarse-matmul scheme as _rank_dense2, vectorized
+    over the hi channel (shift 0) and the lo channel (shift 1).
+    Exactness: tokens sharing a word contribute DISJOINT bit ranges of
+    that word (the gamma codes tile the stream), so every per-word sum
+    is a bitwise OR: 8-bit limb partial sums stay < 256 (exact bf16
+    inputs, exact fp32 MXU accumulation) and the final limb
+    recombination in wrapping uint32 is exact."""
+    C = _DENSE_CHUNK
+    assert C & (C - 1) == 0
+    m = word.shape[0]
+    pad = (-m) % C
+    wpad = jnp.pad(word, (0, pad), constant_values=_WORD_PAD)
+    rows = wpad.reshape(-1, C)  # (nc, C)
+    base = rows[:, 0]
+    r = jnp.arange(C, dtype=jnp.int32)
+    eq = (rows[:, :, None] - base[:, None, None]) == r[None, None, :]
+    vals = jnp.stack(
+        [jnp.pad(hi, (0, pad)).reshape(-1, C), jnp.pad(lo, (0, pad)).reshape(-1, C)]
+    )  # (2, nc, C)
+    # (2, nc, C): per-chunk per-local-word partial sums (disjoint-bit ORs)
+    lwh = jnp.sum(
+        jnp.where(eq[None], vals[:, :, :, None], jnp.uint32(0)),
+        axis=2,
+        dtype=jnp.uint32,
+    )
+    n_blocks = -(-n_words // C)
+    jq = jnp.arange(n_blocks, dtype=jnp.int32)
+    out = jnp.zeros((C, n_blocks), jnp.uint32)
+    for ch, shift in ((0, 0), (1, 1)):
+        b = base + shift
+        kc = b // C
+        rot = b - C * kc
+        B = lwh[ch].T  # (C, nc) u32
+        for k in range(C.bit_length() - 1):
+            s = 1 << k
+            rolled = jnp.concatenate([B[-s:], B[:-s]], axis=0)
+            B = jnp.where((rot[None, :] & s) != 0, rolled, B)
+        wrapped = r[:, None] < rot[None, :]
+        oh_main = (kc[:, None] == jq[None, :]).astype(jnp.bfloat16)
+        oh_spill = ((kc + 1)[:, None] == jq[None, :]).astype(jnp.bfloat16)
+        Bm = jnp.where(wrapped, jnp.uint32(0), B)
+        Bs = jnp.where(wrapped, B, jnp.uint32(0))
+        for limb in range(4):
+            lm = ((Bm >> (8 * limb)) & jnp.uint32(0xFF)).astype(jnp.bfloat16)
+            ls = ((Bs >> (8 * limb)) & jnp.uint32(0xFF)).astype(jnp.bfloat16)
+            o = jnp.matmul(
+                lm, oh_main, preferred_element_type=jnp.float32
+            ) + jnp.matmul(ls, oh_spill, preferred_element_type=jnp.float32)
+            out = out + (o.astype(jnp.uint32) << (8 * limb))
+    return out.T.reshape(-1)[:n_words]
 
 
 def _rank_dense(word, n_queries: int):
@@ -232,7 +419,7 @@ def pack_bits(vals, nbits, capacity_bytes: int):
     Returns (bytes_u8 of shape (capacity_bytes,), total_bits scalar).
     Bytes beyond ceil(total_bits/8) are zero."""
     cap_words = (capacity_bytes + 3) // 4
-    offs = _exclusive_cumsum(nbits)
+    offs = _excl_cumsum_mxu_small(nbits)
     total_bits = offs[-1] + nbits[-1]
 
     word = (offs >> 5).astype(jnp.int32)
@@ -261,36 +448,42 @@ def pack_bits(vals, nbits, capacity_bytes: int):
         jnp.uint32(0),
     )
 
-    # Segment-sum by sorted word index, scatter-free: cumsum wraps mod
-    # 2^32 but in-word bits are disjoint, so boundary differences are
-    # exact. words[w] = sum(hi where word==w) + sum(lo where word+1==w).
-    # One rank computation serves both: #(word+1 <= q) == #(word <= q-1)
-    # is the same rank shifted by one query. The rank (searchsorted) is
-    # the expensive step on TPU, so it runs over a reduced query budget
-    # (cap_words); callers choosing cap_words below the true worst case
-    # must fall back when total_bits exceeds 32*cap_words.
-    # dense-inverse rank (histogram + cumsum via one-hot matmul):
-    # replaces the round-1 merge-sort rank, whose sort dominated the
-    # device profile (~145 ms/img). Alternatives kept for A/B below.
-    if _RANK_IMPL == "dense":
-        upper = _rank_dense(word, cap_words)
-    elif _RANK_IMPL == "chunked":
-        wq = jnp.arange(cap_words, dtype=jnp.int32)
-        upper = _rank_chunked(word, wq)
-    else:  # "sort"
-        wq = jnp.arange(cap_words, dtype=jnp.int32)
-        upper = jnp.searchsorted(word, wq, side="right", method="sort").astype(jnp.int32)
-    zero = jnp.zeros((1,), jnp.uint32)
+    # Segment-sum by sorted word index, scatter-free.
+    # words[w] = sum(hi where word==w) + sum(lo where word+1==w).
+    if _PACK_IMPL == "place":
+        # direct dense placement: no rank, no stream-length cumsums,
+        # no gathers (the fast path; see _place_words_u32)
+        words = _place_words_u32(hi, lo, word, cap_words)
+    else:
+        # rank + cumsum-sampling formulation, kept for A/B: compute
+        # upper[q] = #(word <= q), then read boundary differences of
+        # the hi/lo running sums (wrapping cumsums are exact at word
+        # boundaries because in-word bits are disjoint). One rank
+        # serves both channels: #(word+1 <= q) == #(word <= q-1) is
+        # the same rank shifted one query. On chip the rank cost 43
+        # ms/img ("dense"; the round-1 "sort" was ~145) and the two
+        # cs[upper] gathers another 27.
+        if _RANK_IMPL == "dense2":
+            upper = _rank_dense2(word, cap_words)
+        elif _RANK_IMPL == "dense":
+            upper = _rank_dense(word, cap_words)
+        elif _RANK_IMPL == "chunked":
+            wq = jnp.arange(cap_words, dtype=jnp.int32)
+            upper = _rank_chunked(word, wq)
+        else:  # "sort"
+            wq = jnp.arange(cap_words, dtype=jnp.int32)
+            upper = jnp.searchsorted(word, wq, side="right", method="sort").astype(jnp.int32)
+        zero = jnp.zeros((1,), jnp.uint32)
 
-    cs_hi = jnp.concatenate([zero, jnp.cumsum(hi, dtype=jnp.uint32)])
-    cs_lo = jnp.concatenate([zero, jnp.cumsum(lo, dtype=jnp.uint32)])
-    ends_hi = cs_hi[upper]  # Σ hi over tokens with word <= q
-    ends_lo = cs_lo[upper]
-    prev_hi = jnp.concatenate([zero, ends_hi[:-1]])
-    prev_lo = jnp.concatenate([zero, ends_lo[:-1]])
-    prev2_lo = jnp.concatenate([zero, prev_lo[:-1]])
-    # words[q] = Σ hi (word == q)  +  Σ lo (word == q-1)
-    words = (ends_hi - prev_hi) + (prev_lo - prev2_lo)
+        cs_hi = jnp.concatenate([zero, _cumsum_mxu_u32(hi)])
+        cs_lo = jnp.concatenate([zero, _cumsum_mxu_u32(lo)])
+        ends_hi = cs_hi[upper]  # Σ hi over tokens with word <= q
+        ends_lo = cs_lo[upper]
+        prev_hi = jnp.concatenate([zero, ends_hi[:-1]])
+        prev_lo = jnp.concatenate([zero, ends_lo[:-1]])
+        prev2_lo = jnp.concatenate([zero, prev_lo[:-1]])
+        # words[q] = Σ hi (word == q)  +  Σ lo (word == q-1)
+        words = (ends_hi - prev_hi) + (prev_lo - prev2_lo)
 
     # words hold the stream big-endian (bit 0 of the stream is the MSB
     # of word 0): emit bytes MSB-first
