@@ -219,38 +219,46 @@ def _bucket_span(m: int) -> int:
     return w
 
 
-def _bucket_words(m: int) -> int:
-    """Power-of-two padded word capacity for the compressed-stream
-    upload: bounds transferred bytes to <= 2x the largest actual
-    compressed tile while keeping compiled-program count logarithmic."""
-    w = 256
-    while w < m:
-        w *= 2
-    return w
-
-
 @functools.lru_cache(maxsize=256)
-def _entropy_decode_fn(n_outputs: int, block: int, words_cap: int, span: int):
-    """Jitted batched device entropy decode: (T, words_cap) u32 +
-    (T, B) sync arrays -> (T, n_outputs) int16 coefficient streams.
-    `span` is the bucketed per-block word-window width (see
-    kagari_device.decode_span_words)."""
+def _entropy_decode_fn(n_outputs: int, block: int, pool_words: int, span: int):
+    """Jitted batched device entropy decode: (pool_words,) u32 dense
+    word pool + per-tile base offsets + (T, B) sync arrays ->
+    (T, n_outputs) int16 coefficient streams. `span` is the bucketed
+    per-block word-window width (see kagari_device.decode_span_words)."""
     from ako_tpu.ops.kagari_device import kagari_decode_device
 
-    def fn(words, bit_off, prev, consec, run):
+    def fn(pool, bases, bit_off, prev, consec, run):
         return jax.vmap(
-            lambda w, b, p, c, r: kagari_decode_device(
-                w, b, p, c, r, n_outputs, block, span
+            lambda bb, b, p, c, r: kagari_decode_device(
+                pool, b, p, c, r, n_outputs, block, span, base=bb
             )
-        )(words, bit_off, prev, consec, run)
+        )(bases, bit_off, prev, consec, run)
 
     return jax.jit(fn)
 
 
-def _payload_words(payload: memoryview, words_cap: int) -> np.ndarray:
-    buf = np.zeros(words_cap * 4, np.uint8)
-    buf[: len(payload)] = np.frombuffer(payload, np.uint8)
-    return buf.view(">u4").astype(np.uint32)
+#: dense-pool length granularity (words): bounds compiled-program
+#: variants while wasting at most 64 KiB of upload per shape group
+_POOL_ROUND_WORDS = 16384
+
+
+def _payload_pool(payloads) -> tuple:
+    """Concatenate per-tile compressed payloads word-aligned into one
+    dense big-endian u32 pool; returns (pool u32 (W,), bases int32 (T,)).
+    Only actual compressed bytes (word-rounded) cross the link, instead
+    of every tile padded to the shape group's power-of-two max."""
+    from ako_tpu.ops.kagari_device import DECODE_SLACK_WORDS
+
+    bases = []
+    w = 0
+    for p in payloads:
+        bases.append(w)
+        w += (len(p) + 3) // 4
+    total = -(-(w + DECODE_SLACK_WORDS) // _POOL_ROUND_WORDS) * _POOL_ROUND_WORDS
+    buf = np.zeros(total * 4, np.uint8)
+    for p, b in zip(payloads, bases):
+        buf[b * 4 : b * 4 + len(p)] = np.frombuffer(p, np.uint8)
+    return buf.view(">u4").astype(np.uint32), np.asarray(bases, np.int32)
 
 
 def dispatch_tiles_device_entropy(view, cursor: int, grid, s: Settings, channels: int,
@@ -303,15 +311,12 @@ def dispatch_tiles_device_entropy(view, cursor: int, grid, s: Settings, channels
         else:
             per_shape.setdefault((t.w, t.h), []).append((t, payload, sync))
 
-    from ako_tpu.ops.kagari_device import DECODE_SLACK_WORDS, decode_span_words
+    from ako_tpu.ops.kagari_device import decode_span_words
 
     dispatched = []
     for (tw, th), items in per_shape.items():
         count = tile_block_sizes(items[0][0], s, channels)[0] // 2
-        wcap = _bucket_words(
-            max((len(p) + 3) // 4 + DECODE_SLACK_WORDS for _, p, _ in items)
-        )
-        words = np.stack([_payload_words(p, wcap) for _, p, _ in items])
+        pool, bases = _payload_pool([p for _, p, _ in items])
         bit_off = np.stack([sy[0] for _, _, sy in items])
         prev = np.stack([sy[1] for _, _, sy in items])
         consec = np.stack([sy[2] for _, _, sy in items])
@@ -322,9 +327,12 @@ def dispatch_tiles_device_entropy(view, cursor: int, grid, s: Settings, channels
                 for _, p, sy in items
             )
         )
-        efn = _entropy_decode_fn(count, DECODE_BLOCK, wcap, min(span, wcap))
+        efn = _entropy_decode_fn(
+            count, DECODE_BLOCK, pool.shape[0], min(span, pool.shape[0])
+        )
         streams_dev = efn(
-            device_put_parallel(words),
+            device_put_parallel(pool),
+            jnp.asarray(bases),
             jnp.asarray(bit_off),
             jnp.asarray(prev),
             jnp.asarray(consec),

@@ -550,7 +550,8 @@ def decode_span_words(bit_offsets, total_bits: int, slack: int = 3) -> int:
 
 
 def kagari_decode_device(words, bit_off, prev0, consec0, run0, n_outputs: int,
-                         block: int = DECODE_BLOCK, span: int | None = None):
+                         block: int = DECODE_BLOCK, span: int | None = None,
+                         base=0):
     """Device-side parallel Kagari decode of one tile's stream.
 
     words: (W,) uint32 — the compressed bytes as big-endian-bit words,
@@ -571,7 +572,13 @@ def kagari_decode_device(words, bit_off, prev0, consec0, run0, n_outputs: int,
     word and shifts it left, so the hot loop has no gathers at all
     (the round-2 per-step `words[wptr]` gathers cost ~104 ms/image vs
     ~15 ms for this formulation). None = whole-stream windows (always
-    safe; memory-proportionate only for small streams — tests)."""
+    safe; memory-proportionate only for small streams — tests).
+
+    `base` (int32 scalar) offsets every word index: callers batching
+    many tiles upload ONE dense concatenated word pool and pass each
+    tile's start word here, instead of padding every tile to a common
+    per-tile capacity (which cost ~2.5x the actual compressed bytes
+    over the host link)."""
     wcap = words.shape[0]
     if span is None:
         span = wcap
@@ -580,7 +587,7 @@ def kagari_decode_device(words, bit_off, prev0, consec0, run0, n_outputs: int,
     consec = consec0.astype(jnp.uint16).astype(jnp.int32)
     runrem = run0.astype(jnp.uint16).astype(jnp.int32)
     boff = bit_off.astype(jnp.uint32)
-    word0 = (boff >> 5).astype(jnp.int32)
+    word0 = (boff >> 5).astype(jnp.int32) + base
     cur = boff & jnp.uint32(31)
     idx = jnp.clip(
         word0[:, None] + jnp.arange(span, dtype=jnp.int32)[None, :], 0, wcap - 1
