@@ -28,8 +28,86 @@ from ako_tpu.core.settings import (
     Wavelet,
     Wrap,
 )
+from typing import NamedTuple
+
 from ako_tpu.ops.colorspace import to_interleaved_u8
 from ako_tpu.ops.lifting import inverse_tile
+
+
+class PixOut(NamedTuple):
+    """Decoder output for images with a trailing alpha-like channel:
+    the last channel travels as its own band tuple plus a tiny per-tile
+    (min, max) table, so collectors can skip fetching it entirely when
+    it is constant (the common alpha=255 case — 25% of the pixel bytes
+    over the host link)."""
+
+    color: tuple  # band_split of (T, th, tw, channels-1) u8
+    alpha: tuple  # band_split of (T, th, tw) u8 — fetched lazily
+    amm: jnp.ndarray  # (T, 2) u8 per-tile (min, max) of the last channel
+
+
+def _pix_out(ileaved, channels: int):
+    """Wrap an interleaved (T, th, tw, C) u8 device tensor as the
+    fetch-friendly output pytree: PixOut when a trailing channel can be
+    elided, else plain leading-axis bands."""
+    from ako_tpu.runtime.transfer import band_split
+
+    if channels not in (2, 4):
+        return band_split(ileaved)
+    last = ileaved[..., -1]
+    amm = jnp.stack(
+        [last.min(axis=(1, 2)), last.max(axis=(1, 2))], axis=-1
+    )
+    return PixOut(band_split(ileaved[..., :-1]), band_split(last), amm)
+
+
+def pixels_ready(out) -> None:
+    """block_until_ready across a decoder output (PixOut or bands)."""
+    from ako_tpu.runtime.transfer import bands_ready
+
+    if isinstance(out, PixOut):
+        bands_ready(out.color)
+        out.amm.block_until_ready()
+    else:
+        bands_ready(out)
+
+
+def place_pixels(image: np.ndarray, tiles, th: int, tw: int, out) -> None:
+    """Fetch a decoder output and write each tile into `image` at its
+    placement. For PixOut, the trailing channel crosses the link only
+    when some tile's (min, max) probe says it is non-constant."""
+    from ako_tpu.runtime.transfer import fetch_bands
+
+    if not isinstance(out, PixOut):
+        pix = fetch_bands(out)
+        for i, t in enumerate(tiles):
+            image[t.y : t.y + th, t.x : t.x + tw, :] = pix[i]
+        return
+    amm = np.asarray(out.amm)
+    pix = fetch_bands(out.color)
+    alpha = None if (amm[:, 0] == amm[:, 1]).all() else fetch_bands(out.alpha)
+    for i, t in enumerate(tiles):
+        sl = image[t.y : t.y + th, t.x : t.x + tw]
+        sl[..., :-1] = pix[i]
+        sl[..., -1] = amm[i, 0] if alpha is None else alpha[i]
+
+
+def assemble_pixels(out) -> np.ndarray:
+    """Fetch a decoder output as one (T, th, tw, C) u8 array (the
+    streaming-iterator surface, which yields per-tile arrays)."""
+    from ako_tpu.runtime.transfer import fetch_bands
+
+    if not isinstance(out, PixOut):
+        return fetch_bands(out)
+    amm = np.asarray(out.amm)
+    pix = fetch_bands(out.color)
+    full = np.empty(pix.shape[:-1] + (pix.shape[-1] + 1,), np.uint8)
+    full[..., :-1] = pix
+    if (amm[:, 0] == amm[:, 1]).all():
+        full[..., -1] = amm[:, 0][:, None, None]
+    else:
+        full[..., -1] = fetch_bands(out.alpha)
+    return full
 
 
 @functools.lru_cache(maxsize=256)
@@ -41,11 +119,9 @@ def _tile_decoder(
     wrap: Wrap,
     color: Color,
 ):
-    """Jitted device program: (T, coeff_count) int16 -> tuple of
-    leading-axis bands of (T, tile_h, tile_w, channels) u8 tiles
-    (band_split: fetch-friendly distinct outputs)."""
-    from ako_tpu.runtime.transfer import band_split
-
+    """Jitted device program: (T, coeff_count) int16 -> PixOut (or
+    plain leading-axis bands) of (T, tile_h, tile_w, channels) u8
+    tiles (band_split: fetch-friendly distinct outputs)."""
     schedule = geometry.lift_schedule(tile_w, tile_h)
 
     def fn(coeffs):
@@ -53,7 +129,7 @@ def _tile_decoder(
             planes = coeffs.reshape(coeffs.shape[:-1] + (channels, tile_h, tile_w))
         else:
             planes = inverse_tile(coeffs, schedule, wavelet, wrap, channels)
-        return band_split(to_interleaved_u8(planes, color, channels))
+        return _pix_out(to_interleaved_u8(planes, color, channels), channels)
 
     return jax.jit(fn)
 
@@ -87,8 +163,6 @@ def _tile_decoder_split(
     as int16 — roughly halving the dominant host->device transfer.
     Exactness is unaffected: the host checks |body| <= 127 first and
     falls back to the int16 program otherwise (decode())."""
-    from ako_tpu.runtime.transfer import band_split
-
     schedule = geometry.lift_schedule(tile_w, tile_h)
     split, stream_order = _tail_layout(schedule, channels)
 
@@ -107,7 +181,7 @@ def _tile_decoder_split(
                 off8 += body_len
         coeffs = jnp.concatenate(parts, axis=-1)
         planes = inverse_tile(coeffs, schedule, wavelet, wrap, channels)
-        return band_split(to_interleaved_u8(planes, color, channels))
+        return _pix_out(to_interleaved_u8(planes, color, channels), channels)
 
     return jax.jit(fn), split, stream_order
 
@@ -386,18 +460,14 @@ def decode(
         _fire(events, 0, total, Event.COMPRESSION_START, events_user)
         dispatched = dispatch_tiles_device_entropy(view, cursor, grid, s, channels)
         _fire(events, 0, total, Event.COMPRESSION_END, events_user)
-        from ako_tpu.runtime.transfer import bands_ready, fetch_bands
-
         image = np.empty((image_h, image_w, channels), dtype=np.uint8)
         _fire(events, 0, total, Event.WAVELET_START, events_user)
         for _tiles, _th, _tw, pixels_dev in dispatched:
-            bands_ready(pixels_dev)
+            pixels_ready(pixels_dev)
         _fire(events, 0, total, Event.WAVELET_END, events_user)
         _fire(events, 0, total, Event.FORMAT_START, events_user)
         for tiles, th, tw, pixels_dev in dispatched:
-            pixels = fetch_bands(pixels_dev)
-            for i, t in enumerate(tiles):
-                image[t.y : t.y + th, t.x : t.x + tw, :] = pixels[i]
+            place_pixels(image, tiles, th, tw, pixels_dev)
         _fire(events, 0, total, Event.FORMAT_END, events_user)
         return image, s, channels
 
@@ -418,17 +488,15 @@ def decode(
     for t in grid:
         by_shape.setdefault((t.w, t.h), []).append(t)
 
-    from ako_tpu.runtime.transfer import fetch_bands
-
     for (tw, th), tiles in by_shape.items():
         t0 = tiles[0].index
         _fire(events, t0, total, Event.WAVELET_START, events_user)
         batch = np.stack([streams[t.index] for t in tiles], axis=0)
-        pixels = fetch_bands(_run_tile_decoder(batch, tw, th, channels, s))
+        out = _run_tile_decoder(batch, tw, th, channels, s)
+        pixels_ready(out)
         _fire(events, t0, total, Event.WAVELET_END, events_user)
         _fire(events, t0, total, Event.FORMAT_START, events_user)
-        for i, t in enumerate(tiles):
-            image[t.y : t.y + th, t.x : t.x + tw, :] = pixels[i]
+        place_pixels(image, tiles, th, tw, out)
         _fire(events, t0, total, Event.FORMAT_END, events_user)
 
     return image, s, channels
@@ -459,11 +527,9 @@ def decode_tiles_iter(blob: bytes, max_batch: int = 32):
     def flush():
         if not pending:
             return
-        from ako_tpu.runtime.transfer import fetch_bands
-
         tw, th = pending[0][0].w, pending[0][0].h
         batch = np.stack([v for _, v in pending], axis=0)
-        pixels = fetch_bands(_run_tile_decoder(batch, tw, th, channels, s))
+        pixels = assemble_pixels(_run_tile_decoder(batch, tw, th, channels, s))
         for (t, _), px in zip(pending, pixels):
             yield t, px
         pending.clear()

@@ -106,13 +106,19 @@ def _tile_encoder_fused_raw(
     quantization: int,
     gate: int,
     chroma_loss: int,
+    fill_last: bool = False,
 ):
     """Fully fused device program (unjitted): (T, tile_h, tile_w,
     channels) u8 tiles -> (compressed bytes (T, budget) u8, total_bytes
     (T,) i32). The Kagari block is produced ON DEVICE
     (ops/kagari_device.py), so only compressed bytes cross the host
     link. Returned raw so callers can jit with sharding annotations
-    (parallel/tiles.py)."""
+    (parallel/tiles.py).
+
+    With `fill_last`, fwd takes (T, tile_h, tile_w, channels-1) u8
+    tiles plus a u8 scalar and broadcasts the scalar as the trailing
+    channel on device — callers that detect a constant alpha plane
+    upload 25% fewer pixel bytes for the byte-identical blob."""
     schedule = geometry.lift_schedule(tile_w, tile_h)
     qg = level_qg(schedule, channels, quantization, gate, chroma_loss)
     if wavelet != Wavelet.NONE:
@@ -128,17 +134,28 @@ def _tile_encoder_fused_raw(
     budget = capacity // 2 if quantization > 0 else capacity * 7 // 8
     budget = max(budget, 4096)
 
-    def fwd(tiles_u8):
+    def _fwd_full(tiles_u8):
         planes = to_planar_yuv(tiles_u8, color, discard_non_visible)
         if wavelet == Wavelet.NONE:
             return planes.reshape(planes.shape[:-3] + (-1,))
         return forward_tile(planes, schedule, wavelet, wrap, qg)
 
+    if fill_last:
+
+        def fwd(tiles_u8, last_val):
+            last = jnp.broadcast_to(
+                last_val.astype(jnp.uint8), tiles_u8.shape[:-1] + (1,)
+            )
+            return _fwd_full(jnp.concatenate([tiles_u8, last], axis=-1))
+
+    else:
+        fwd = _fwd_full
+
     def pack(stream):
         return jax.vmap(lambda v: kagari_encode_device(v, capacity, budget))(stream)
 
-    def fn(tiles_u8):
-        return pack(fwd(tiles_u8))
+    def fn(*args):
+        return pack(fwd(*args))
 
     fn.fwd = fwd
     fn.pack = pack
@@ -215,6 +232,15 @@ def dispatch_tiles_fused(image: np.ndarray, s: Settings):
     image_h, image_w, channels = image.shape
     grid = geometry.tile_grid(image_w, image_h, s.tiles_dimension)
 
+    # Constant trailing channel (the alpha=255 norm for RGBA photos):
+    # upload channels-1 planes and broadcast the constant on device —
+    # same tile tensor, byte-identical blob, 25% fewer upload bytes.
+    fill_val = None
+    if channels in (2, 4):
+        a = image[..., -1]
+        if a.size and (a == a.flat[0]).all():
+            fill_val = int(a.flat[0])
+
     dispatched = []
     for (tw, th), tiles in _group_by_shape(grid).items():
         fwd, pack, capacity, budget = _tile_encoder_fused(
@@ -228,15 +254,20 @@ def dispatch_tiles_fused(image: np.ndarray, s: Settings):
             s.quantization,
             s.gate,
             s.chroma_loss,
+            fill_val is not None,
         )
+        up_ch = channels - 1 if fill_val is not None else channels
         batch = np.stack(
-            [image[t.y : t.y + th, t.x : t.x + tw, :] for t in tiles], axis=0
+            [image[t.y : t.y + th, t.x : t.x + tw, :up_ch] for t in tiles], axis=0
         )
         from ako_tpu.runtime.transfer import device_put_parallel
 
         # keep the coefficient stream handle: near-capacity tiles fall
         # back to the host coder on it instead of re-running the lift
-        stream_dev = fwd(device_put_parallel(batch))
+        if fill_val is not None:
+            stream_dev = fwd(device_put_parallel(batch), jnp.uint8(fill_val))
+        else:
+            stream_dev = fwd(device_put_parallel(batch))
         comp_bytes, totals_dev = pack(stream_dev)
         dispatched.append(
             (tiles, stream_dev, comp_bytes, totals_dev, capacity, budget)

@@ -191,14 +191,12 @@ class PipelineDecoder:
 
     @staticmethod
     def _collect(dispatched, shape):
-        from ako_tpu.runtime.transfer import fetch_bands
+        from ako_tpu.decode import place_pixels
 
         h, w, channels = shape
         image = np.empty((h, w, channels), dtype=np.uint8)
         for tiles, th, tw, pixels_dev in dispatched:
-            pixels = fetch_bands(pixels_dev)
-            for i, t in enumerate(tiles):
-                image[t.y : t.y + th, t.x : t.x + tw, :] = pixels[i]
+            place_pixels(image, tiles, th, tw, pixels_dev)
         return image
 
     def _dispatch_blob(self, blob: bytes, pool, device_entropy: bool):

@@ -235,6 +235,72 @@ class TestDeviceEntropyPath:
         assert a == b
 
 
+class TestTrailingChannelElision:
+    """Constant alpha planes are elided from the host<->device pixel
+    transfers (encode uploads channels-1 planes + a scalar; decode
+    fetches the trailing channel only when its per-tile (min, max)
+    probe says non-constant). The blob and decoded pixels must stay
+    byte-identical in every case, including the alpha-dependent
+    discard-non-visible path."""
+
+    @pytest.mark.parametrize("channels", [2, 4])
+    @pytest.mark.parametrize("aval", [0, 128, 255])
+    def test_constant_alpha_parity(self, rng, channels, aval):
+        img = _img(rng, 48, 40, channels)
+        img[..., -1] = aval
+        s = Settings(quantization=16, tiles_dimension=16)
+        a = ako_tpu.encode(img, s, device_entropy=False)
+        b = ako_tpu.encode(img, s, device_entropy=True)
+        assert a == b
+        d1 = ako_tpu.decode(b, device_entropy=True)[0]
+        d2 = ako_tpu.decode(b, device_entropy=False)[0]
+        np.testing.assert_array_equal(d1, d2)
+
+    def test_varying_alpha_untouched(self, rng):
+        img = _img(rng, 48, 40, 4)
+        s = Settings(quantization=16, tiles_dimension=16)
+        assert ako_tpu.encode(img, s, device_entropy=True) == ako_tpu.encode(
+            img, s, device_entropy=False
+        )
+        b = ako_tpu.encode(img, s, device_entropy=True)
+        np.testing.assert_array_equal(
+            ako_tpu.decode(b, device_entropy=True)[0],
+            ako_tpu.decode(b, device_entropy=False)[0],
+        )
+
+    def test_constant_alpha_discard_non_visible(self, rng):
+        # alpha == 0 everywhere + discard: the broadcast alpha plane
+        # must drive the same RGB zeroing as an uploaded one
+        img = _img(rng, 32, 32, 4)
+        img[..., 3] = 0
+        s = Settings(quantization=16, discard_non_visible=1)
+        assert ako_tpu.encode(img, s, device_entropy=True) == ako_tpu.encode(
+            img, s, device_entropy=False
+        )
+
+    def test_streaming_iter_constant_alpha(self, rng):
+        from ako_tpu.decode import decode_tiles_iter
+
+        img = _img(rng, 48, 40, 4)
+        img[..., 3] = 255
+        s = Settings(quantization=16, tiles_dimension=16)
+        blob = ako_tpu.encode(img, s)
+        ref = ako_tpu.decode(blob)[0]
+        out = np.empty_like(ref)
+        for t, px in decode_tiles_iter(blob):
+            out[t.y : t.y + px.shape[0], t.x : t.x + px.shape[1]] = px
+        np.testing.assert_array_equal(out, ref)
+
+    def test_lossless_constant_alpha_roundtrip(self, rng):
+        img = _img(rng, 40, 40, 4)
+        img[..., 3] = 255
+        s = Settings(quantization=0, tiles_dimension=0)
+        blob = ako_tpu.encode(img, s, device_entropy=True)
+        np.testing.assert_array_equal(
+            ako_tpu.decode(blob, device_entropy=True)[0], img
+        )
+
+
 class TestInt8SplitGuard:
     def test_int16_min_body_falls_back(self, rng):
         """np.abs(int16 -32768) wraps negative; the int8-split guard
