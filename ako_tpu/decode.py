@@ -83,8 +83,14 @@ def place_pixels(image: np.ndarray, tiles, th: int, tw: int, out) -> None:
         for i, t in enumerate(tiles):
             image[t.y : t.y + th, t.x : t.x + tw, :] = pix[i]
         return
-    amm = np.asarray(out.amm)
+    # the tiny (min, max) probe fetch still pays the link's full RPC
+    # latency (~40 ms through the tunnel) — ride it concurrently with
+    # the color-band fetch instead of in front of it
+    from ako_tpu.runtime.transfer import _get_pool
+
+    amm_fut = _get_pool().submit(np.asarray, out.amm)
     pix = fetch_bands(out.color)
+    amm = amm_fut.result()
     alpha = None if (amm[:, 0] == amm[:, 1]).all() else fetch_bands(out.alpha)
     for i, t in enumerate(tiles):
         sl = image[t.y : t.y + th, t.x : t.x + tw]
@@ -99,8 +105,11 @@ def assemble_pixels(out) -> np.ndarray:
 
     if not isinstance(out, PixOut):
         return fetch_bands(out)
-    amm = np.asarray(out.amm)
+    from ako_tpu.runtime.transfer import _get_pool
+
+    amm_fut = _get_pool().submit(np.asarray, out.amm)
     pix = fetch_bands(out.color)
+    amm = amm_fut.result()
     full = np.empty(pix.shape[:-1] + (pix.shape[-1] + 1,), np.uint8)
     full[..., :-1] = pix
     if (amm[:, 0] == amm[:, 1]).all():

@@ -269,8 +269,12 @@ def dispatch_tiles_fused(image: np.ndarray, s: Settings):
         else:
             stream_dev = fwd(device_put_parallel(batch))
         comp_bytes, totals_dev = pack(stream_dev)
+        # start the (tiny but ~40 ms-latency) totals fetch now, on a
+        # worker — it completes during device compute, so collect-time
+        # bucketing never stalls on a cold RPC round trip
+        totals_fut = _fetch_pool().submit(np.asarray, totals_dev)
         dispatched.append(
-            (tiles, stream_dev, comp_bytes, totals_dev, capacity, budget)
+            (tiles, stream_dev, comp_bytes, totals_fut, capacity, budget)
         )
     return grid, channels, dispatched
 
@@ -282,8 +286,8 @@ def collect_tiles_blocks(s: Settings, channels: int, grid, dispatched):
     The fallback reuses the already-computed device coefficient stream
     (one extra fetch, zero recompute)."""
     out: list[Optional[bytes]] = [None] * len(grid)
-    for tiles, stream_dev, comp_bytes, totals_dev, capacity, budget in dispatched:
-        totals = np.asarray(totals_dev)
+    for tiles, stream_dev, comp_bytes, totals_fut, capacity, budget in dispatched:
+        totals = totals_fut.result()
         fallback = [
             i
             for i, n in enumerate(totals)
@@ -356,7 +360,7 @@ def encode_tiles_blocks(
     _fire(events, 0, total, Event.FORMAT_END, events_user)
     _fire(events, 0, total, Event.WAVELET_START, events_user)
     for rec in dispatched:
-        np.asarray(rec[3])  # totals fetch = wait for device compute
+        rec[3].result()  # totals fetch = wait for device compute
     _fire(events, 0, total, Event.WAVELET_END, events_user)
     _fire(events, 0, total, Event.COMPRESSION_START, events_user)
     out = collect_tiles_blocks(s, channels, grid, dispatched)
