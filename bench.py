@@ -102,7 +102,7 @@ def bench_ref(images, settings):
 
 #: the tunneled host<->device link swings +-40% between runs, so the
 #: reported value is the median of this many timed passes
-RUNS = 3
+RUNS = 5
 
 
 def main() -> int:
