@@ -399,7 +399,7 @@ def dispatch_tiles_device_entropy(view, cursor: int, grid, s: Settings, channels
     dispatched = []
     for (tw, th), items in per_shape.items():
         count = tile_block_sizes(items[0][0], s, channels)[0] // 2
-        pool, bases = _payload_pool([p for _, p, _ in items])
+        words_pool, bases = _payload_pool([p for _, p, _ in items])
         bit_off = np.stack([sy[0] for _, _, sy in items])
         prev = np.stack([sy[1] for _, _, sy in items])
         consec = np.stack([sy[2] for _, _, sy in items])
@@ -411,10 +411,10 @@ def dispatch_tiles_device_entropy(view, cursor: int, grid, s: Settings, channels
             )
         )
         efn = _entropy_decode_fn(
-            count, DECODE_BLOCK, pool.shape[0], min(span, pool.shape[0])
+            count, DECODE_BLOCK, words_pool.shape[0], min(span, words_pool.shape[0])
         )
         streams_dev = efn(
-            device_put_parallel(pool),
+            device_put_parallel(words_pool),
             jnp.asarray(bases),
             jnp.asarray(bit_off),
             jnp.asarray(prev),
