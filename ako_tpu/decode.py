@@ -72,6 +72,21 @@ def pixels_ready(out) -> None:
         bands_ready(out)
 
 
+def _fetch_pix_out(out: PixOut):
+    """Fetch choreography shared by every PixOut collector: ride the
+    tiny (min, max) probe — which still pays the link's full ~40 ms RPC
+    latency — concurrently with the color-band fetch, then fetch the
+    trailing channel only if some tile's probe says non-constant.
+    Returns (pix (T, th, tw, C-1), amm (T, 2), alpha (T, th, tw)|None)."""
+    from ako_tpu.runtime.transfer import _get_pool, fetch_bands
+
+    amm_fut = _get_pool().submit(np.asarray, out.amm)
+    pix = fetch_bands(out.color)
+    amm = amm_fut.result()
+    alpha = None if (amm[:, 0] == amm[:, 1]).all() else fetch_bands(out.alpha)
+    return pix, amm, alpha
+
+
 def place_pixels(image: np.ndarray, tiles, th: int, tw: int, out) -> None:
     """Fetch a decoder output and write each tile into `image` at its
     placement. For PixOut, the trailing channel crosses the link only
@@ -83,15 +98,7 @@ def place_pixels(image: np.ndarray, tiles, th: int, tw: int, out) -> None:
         for i, t in enumerate(tiles):
             image[t.y : t.y + th, t.x : t.x + tw, :] = pix[i]
         return
-    # the tiny (min, max) probe fetch still pays the link's full RPC
-    # latency (~40 ms through the tunnel) — ride it concurrently with
-    # the color-band fetch instead of in front of it
-    from ako_tpu.runtime.transfer import _get_pool
-
-    amm_fut = _get_pool().submit(np.asarray, out.amm)
-    pix = fetch_bands(out.color)
-    amm = amm_fut.result()
-    alpha = None if (amm[:, 0] == amm[:, 1]).all() else fetch_bands(out.alpha)
+    pix, amm, alpha = _fetch_pix_out(out)
     for i, t in enumerate(tiles):
         sl = image[t.y : t.y + th, t.x : t.x + tw]
         sl[..., :-1] = pix[i]
@@ -105,17 +112,10 @@ def assemble_pixels(out) -> np.ndarray:
 
     if not isinstance(out, PixOut):
         return fetch_bands(out)
-    from ako_tpu.runtime.transfer import _get_pool
-
-    amm_fut = _get_pool().submit(np.asarray, out.amm)
-    pix = fetch_bands(out.color)
-    amm = amm_fut.result()
+    pix, amm, alpha = _fetch_pix_out(out)
     full = np.empty(pix.shape[:-1] + (pix.shape[-1] + 1,), np.uint8)
     full[..., :-1] = pix
-    if (amm[:, 0] == amm[:, 1]).all():
-        full[..., -1] = amm[:, 0][:, None, None]
-    else:
-        full[..., -1] = fetch_bands(out.alpha)
+    full[..., -1] = amm[:, 0][:, None, None] if alpha is None else alpha
     return full
 
 
@@ -466,8 +466,12 @@ def decode(
         # encode (PARITY.md known-divergences): COMPRESSION covers the
         # host sync scan + upload + dispatch, WAVELET the device wait,
         # FORMAT the pixel drain
+        from ako_tpu.runtime.transfer import _get_pool
+
         _fire(events, 0, total, Event.COMPRESSION_START, events_user)
-        dispatched = dispatch_tiles_device_entropy(view, cursor, grid, s, channels)
+        dispatched = dispatch_tiles_device_entropy(
+            view, cursor, grid, s, channels, _get_pool()
+        )
         _fire(events, 0, total, Event.COMPRESSION_END, events_user)
         image = np.empty((image_h, image_w, channels), dtype=np.uint8)
         _fire(events, 0, total, Event.WAVELET_START, events_user)

@@ -40,20 +40,12 @@ from ako_tpu.runtime.kagari import BLOCK_HEAD, compress_block
 #: reference's bounds checks (kagari.c:66-78,95-110) decide
 _CAPACITY_MARGIN = 16
 
-_fetch_pool_inst = None
-
-
 def _fetch_pool():
-    """Small pool for overlapping the per-bucket compressed-byte
-    fetches in collect_tiles_blocks."""
-    global _fetch_pool_inst
-    if _fetch_pool_inst is None:
-        import concurrent.futures as cf
+    """The shared transfer/IO worker pool (runtime.transfer) — used
+    here for totals futures and per-bucket compressed-byte fetches."""
+    from ako_tpu.runtime.transfer import _get_pool
 
-        _fetch_pool_inst = cf.ThreadPoolExecutor(
-            max_workers=4, thread_name_prefix="ako-fetch"
-        )
-    return _fetch_pool_inst
+    return _get_pool()
 
 
 def checked_settings(s: Optional[Settings]) -> Settings:
@@ -270,13 +262,46 @@ def dispatch_tiles_fused(image: np.ndarray, s: Settings):
             stream_dev = fwd(device_put_parallel(batch))
         comp_bytes, totals_dev = pack(stream_dev)
         # start the (tiny but ~40 ms-latency) totals fetch now, on a
-        # worker — it completes during device compute, so collect-time
-        # bucketing never stalls on a cold RPC round trip
-        totals_fut = _fetch_pool().submit(np.asarray, totals_dev)
-        dispatched.append(
-            (tiles, stream_dev, comp_bytes, totals_fut, capacity, budget)
+        # worker; the same task then immediately enqueues the bucketed
+        # slice/gather programs for the byte fetch, so those device ops
+        # land ahead of the NEXT image's compute in the FIFO device
+        # stream instead of behind it (collect-time enqueue serialized
+        # the pipeline by up to a full image of device work)
+        prep_fut = _fetch_pool().submit(
+            _prepare_collect, totals_dev, comp_bytes, capacity, budget
         )
+        dispatched.append((tiles, stream_dev, prep_fut, capacity, budget))
     return grid, channels, dispatched
+
+
+def _prepare_collect(totals_dev, comp_bytes, capacity: int, budget: int):
+    """Worker task submitted at dispatch time: fetch per-tile
+    compressed sizes, split near-capacity tiles out as host-coder
+    fallbacks, and enqueue the bucketed byte-fetch programs.
+
+    Bucketed fetch: tiles sorted by compressed size and split into a
+    few contiguous groups, each sliced at its own max width, so fetched
+    bytes track actual compressed size instead of the global per-image
+    max. Widths round up to 4 KiB so the device slice shapes (and their
+    compiled programs) recur across images."""
+    totals = np.asarray(totals_dev)
+    fallback = [
+        i
+        for i, n in enumerate(totals)
+        if int(n) > budget or int(n) >= capacity - _CAPACITY_MARGIN
+    ]
+    ok = [i for i in range(totals.shape[0]) if i not in set(fallback)]
+    groups, rows = [], []
+    if ok:
+        order = sorted(ok, key=lambda i: int(totals[i]))
+        for group in np.array_split(np.asarray(order), min(4, len(order))):
+            if not len(group):
+                continue
+            m = int(totals[group[-1]])
+            m = min(-(-max(m, 1) // 4096) * 4096, comp_bytes.shape[1])
+            groups.append(group)
+            rows.append(comp_bytes[jnp.asarray(group)][:, :m])
+    return totals, fallback, groups, rows
 
 
 def collect_tiles_blocks(s: Settings, channels: int, grid, dispatched):
@@ -286,32 +311,11 @@ def collect_tiles_blocks(s: Settings, channels: int, grid, dispatched):
     The fallback reuses the already-computed device coefficient stream
     (one extra fetch, zero recompute)."""
     out: list[Optional[bytes]] = [None] * len(grid)
-    for tiles, stream_dev, comp_bytes, totals_fut, capacity, budget in dispatched:
-        totals = totals_fut.result()
-        fallback = [
-            i
-            for i, n in enumerate(totals)
-            if int(n) > budget or int(n) >= capacity - _CAPACITY_MARGIN
-        ]
-        ok = [i for i in range(len(tiles)) if i not in set(fallback)]
-        if ok:
+    for tiles, stream_dev, prep_fut, capacity, budget in dispatched:
+        totals, fallback, groups, rows = prep_fut.result()
+        if groups:
             from ako_tpu.runtime.transfer import device_get_parallel
 
-            # Bucketed fetch: tiles sorted by compressed size and split
-            # into a few contiguous groups, each fetched at its own max
-            # width, so fetched bytes track actual compressed size
-            # instead of the global per-image max. Widths round up to
-            # 4 KiB so the device slice shapes (and their compiled
-            # programs) recur across images.
-            order = sorted(ok, key=lambda i: int(totals[i]))
-            groups, rows = [], []
-            for group in np.array_split(np.asarray(order), min(4, len(order))):
-                if not len(group):
-                    continue
-                m = int(totals[group[-1]])
-                m = min(-(-max(m, 1) // 4096) * 4096, comp_bytes.shape[1])
-                groups.append(group)
-                rows.append(comp_bytes[jnp.asarray(group)][:, :m])
             for group, host_bytes in zip(
                 groups, _fetch_pool().map(device_get_parallel, rows)
             ):
@@ -360,7 +364,7 @@ def encode_tiles_blocks(
     _fire(events, 0, total, Event.FORMAT_END, events_user)
     _fire(events, 0, total, Event.WAVELET_START, events_user)
     for rec in dispatched:
-        rec[3].result()  # totals fetch = wait for device compute
+        rec[2].result()  # totals fetch = wait for device compute
     _fire(events, 0, total, Event.WAVELET_END, events_user)
     _fire(events, 0, total, Event.COMPRESSION_START, events_user)
     out = collect_tiles_blocks(s, channels, grid, dispatched)

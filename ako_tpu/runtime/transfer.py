@@ -33,12 +33,15 @@ _pool_lock = threading.Lock()
 
 
 def _get_pool() -> cf.ThreadPoolExecutor:
+    """The process-wide transfer/IO worker pool: chunked puts/fetches,
+    tiny-control-fetch overlap, bucket fetches and sync scans all share
+    it (one lock-guarded singleton — see also encode._fetch_pool)."""
     global _pool
     if _pool is None:
         with _pool_lock:
             if _pool is None:
                 _pool = cf.ThreadPoolExecutor(
-                    max_workers=max(_UP_CHUNKS, _DOWN_CHUNKS, 4),
+                    max_workers=max(_UP_CHUNKS, _DOWN_CHUNKS, 8),
                     thread_name_prefix="ako-xfer",
                 )
     return _pool

@@ -1,13 +1,12 @@
 """Decode stage profile on TPU: sync scan, upload, device compute, pixel fetch."""
 import os, sys, time
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
 import numpy as np
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from bench import synth_images, W, H, TILES
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import synth_images, TILES
 import ako_tpu
 from ako_tpu.core import container, geometry
-from ako_tpu.decode import dispatch_tiles_device_entropy, _check_decode_budget
-from ako_tpu.runtime.transfer import device_get_parallel
+from ako_tpu.decode import dispatch_tiles_device_entropy, pixels_ready, place_pixels
 import concurrent.futures as cf
 
 rng = np.random.default_rng(42)
@@ -24,8 +23,9 @@ pool = cf.ThreadPoolExecutor(max_workers=4)
 
 # warm (compile)
 disp = dispatch_tiles_device_entropy(view, container.HEAD_SIZE, grid, s, channels, pool)
+image = np.empty((h, w, channels), np.uint8)
 for tiles, th, tw, px in disp:
-    np.asarray(px[:1, :1, :1, :1])
+    place_pixels(image, tiles, th, tw, px)
 
 import ako_tpu.runtime.kagari as rk
 from ako_tpu.ops.kagari_device import DECODE_BLOCK
@@ -50,13 +50,11 @@ for r in range(3):
     t_disp = time.perf_counter() - t0
     t0 = time.perf_counter()
     for tiles, th, tw, px in disp:
-        np.asarray(px[:1, :1, :1, :1])  # tiny fetch = device wait
+        pixels_ready(px)  # device wait (band outputs ready)
     t_wait = time.perf_counter() - t0
     t0 = time.perf_counter()
     image = np.empty((h, w, channels), np.uint8)
     for tiles, th, tw, px in disp:
-        pixels = device_get_parallel(px)
-        for i, t in enumerate(tiles):
-            image[t.y:t.y+th, t.x:t.x+tw, :] = pixels[i]
+        place_pixels(image, tiles, th, tw, px)
     t_fetch = time.perf_counter() - t0
     print(f"run {r}: dispatch(sync+upload) {t_disp*1e3:.0f} ms, device wait {t_wait*1e3:.0f} ms, pixel fetch {t_fetch*1e3:.0f} ms")

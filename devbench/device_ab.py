@@ -5,13 +5,13 @@ Times each jitted program by slope: fetch-after-k runs for k in
 Usage: python .bench_device_ab.py [pallas]
 """
 import os, sys, time
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
 if len(sys.argv) > 1 and sys.argv[1] == "pallas":
     os.environ["AKO_TPU_PALLAS"] = "1"
 import numpy as np
 import jax
 import jax.numpy as jnp
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import synth_images, TILES
 import ako_tpu
 from ako_tpu.encode import checked_settings, _tile_encoder_fused

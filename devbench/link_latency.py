@@ -1,7 +1,7 @@
 """Per-transfer latency of tiny arrays over the tunnel."""
 import os, sys, time
 import numpy as np
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp
 
 small = np.arange(64, dtype=np.int32)

@@ -1,8 +1,8 @@
 """Probe tunnel link: up/down MB/s vs chunk count, zeros vs noise."""
 import os, sys, time
 import numpy as np
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-import jax, jax.numpy as jnp
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax.numpy as jnp
 from ako_tpu.runtime.transfer import device_put_parallel, device_get_parallel
 
 MB = 5 * 2**20

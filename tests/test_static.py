@@ -26,7 +26,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _sources():
-    roots = [os.path.join(REPO, "ako_tpu")]
+    roots = [os.path.join(REPO, "ako_tpu"), os.path.join(REPO, "devbench")]
     files = [os.path.join(REPO, "bench.py"), os.path.join(REPO, "__graft_entry__.py")]
     for root in roots:
         for dirpath, _dirs, names in os.walk(root):

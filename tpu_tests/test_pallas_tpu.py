@@ -26,7 +26,7 @@ WRAPS = [Wrap.CLAMP, Wrap.MIRROR, Wrap.REPEAT, Wrap.ZERO]
 
 
 @pytest.mark.parametrize("wavelet", WAVELETS)
-@pytest.mark.parametrize("wrap", [Wrap.CLAMP, Wrap.ZERO])
+@pytest.mark.parametrize("wrap", WRAPS)
 def test_lift2d_lowers_and_matches_xla(rng, wavelet, wrap):
     x = rng.integers(-2000, 2000, size=(3, 128, 128)).astype(np.int16)
     level = geometry.lift_schedule(128, 128).levels[0]
