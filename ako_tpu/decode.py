@@ -62,14 +62,15 @@ def _pix_out(ileaved, channels: int):
 
 
 def pixels_ready(out) -> None:
-    """block_until_ready across a decoder output (PixOut or bands)."""
-    from ako_tpu.runtime.transfer import bands_ready
-
+    """Wait for a decoder output (PixOut or bands) to be computed.
+    Waits on ONE leaf only: every leaf comes from the same device
+    program, and through the tunnel each block_until_ready costs its
+    own ~30 ms RPC round trip (nine leaves measured ~260 ms of pure
+    handshake)."""
     if isinstance(out, PixOut):
-        bands_ready(out.color)
         out.amm.block_until_ready()
     else:
-        bands_ready(out)
+        out[0].block_until_ready()
 
 
 def _fetch_pix_out(out: PixOut):
@@ -303,14 +304,34 @@ def _bucket_span(m: int) -> int:
 
 
 @functools.lru_cache(maxsize=256)
-def _entropy_decode_fn(n_outputs: int, block: int, pool_words: int, span: int):
-    """Jitted batched device entropy decode: (pool_words,) u32 dense
-    word pool + per-tile base offsets + (T, B) sync arrays ->
-    (T, n_outputs) int16 coefficient streams. `span` is the bucketed
-    per-block word-window width (see kagari_device.decode_span_words)."""
+def _entropy_decode_fn(
+    n_outputs: int, block: int, pool_words: int, span: int, tiles: int, blocks: int
+):
+    """Jitted batched device entropy decode over ONE combined u32
+    upload (see _pack_entropy_upload's layout) -> (T, n_outputs) int16
+    coefficient streams. A single buffer instead of six arrays because
+    every separate device_put through the tunnel pays its own ~30 ms
+    RPC handshake (five sync arrays measured 150 ms for 0.4 MB).
+    `span` is the bucketed per-block word-window width (see
+    kagari_device.decode_span_words)."""
     from ako_tpu.ops.kagari_device import kagari_decode_device
 
-    def fn(pool, bases, bit_off, prev, consec, run):
+    T, B = tiles, blocks
+
+    def fn(buf):
+        bases = jax.lax.bitcast_convert_type(buf[:T], jnp.int32)
+        off = T
+        bit_off = buf[off : off + T * B].reshape(T, B)
+        off += T * B
+        prev = jax.lax.bitcast_convert_type(
+            buf[off : off + T * B], jnp.int32
+        ).reshape(T, B)
+        off += T * B
+        cr = buf[off : off + T * B].reshape(T, B)
+        off += T * B
+        consec = (cr >> 16).astype(jnp.int32)
+        run = (cr & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        pool = buf[off:]
         return jax.vmap(
             lambda bb, b, p, c, r: kagari_decode_device(
                 pool, b, p, c, r, n_outputs, block, span, base=bb
@@ -325,23 +346,46 @@ def _entropy_decode_fn(n_outputs: int, block: int, pool_words: int, span: int):
 _POOL_ROUND_WORDS = 16384
 
 
-def _payload_pool(payloads) -> tuple:
-    """Concatenate per-tile compressed payloads word-aligned into one
-    dense big-endian u32 pool; returns (pool u32 (W,), bases int32 (T,)).
-    Only actual compressed bytes (word-rounded) cross the link, instead
-    of every tile padded to the shape group's power-of-two max."""
+def _pack_entropy_upload(items) -> tuple:
+    """Pack one shape group's ENTIRE entropy-decode input as a single
+    u32 buffer: [bases (T) | bit_off (T*B) | prev (T*B, two's
+    complement) | consec<<16|run (T*B) | dense word pool]. The pool
+    concatenates per-tile compressed payloads word-aligned (only actual
+    compressed bytes, word-rounded, cross the link) and is
+    _POOL_ROUND_WORDS-rounded so compiled-program variants stay
+    bounded. Returns (buf u32 (L,), pool_words, T, B)."""
     from ako_tpu.ops.kagari_device import DECODE_SLACK_WORDS
 
+    payloads = [p for _, p, _ in items]
     bases = []
     w = 0
     for p in payloads:
         bases.append(w)
         w += (len(p) + 3) // 4
-    total = -(-(w + DECODE_SLACK_WORDS) // _POOL_ROUND_WORDS) * _POOL_ROUND_WORDS
-    buf = np.zeros(total * 4, np.uint8)
+    pool_words = -(-(w + DECODE_SLACK_WORDS) // _POOL_ROUND_WORDS) * _POOL_ROUND_WORDS
+    pool8 = np.zeros(pool_words * 4, np.uint8)
     for p, b in zip(payloads, bases):
-        buf[b * 4 : b * 4 + len(p)] = np.frombuffer(p, np.uint8)
-    return buf.view(">u4").astype(np.uint32), np.asarray(bases, np.int32)
+        pool8[b * 4 : b * 4 + len(p)] = np.frombuffer(p, np.uint8)
+
+    bit_off = np.stack([sy[0] for _, _, sy in items])
+    prev = np.stack([sy[1] for _, _, sy in items])
+    consec = np.stack([sy[2] for _, _, sy in items])
+    run = np.stack([sy[3] for _, _, sy in items])
+    T, B = bit_off.shape
+
+    buf = np.empty(T + 3 * T * B + pool_words, np.uint32)
+    buf[:T] = np.asarray(bases, np.int32).view(np.uint32)
+    off = T
+    buf[off : off + T * B] = bit_off.astype(np.uint32).ravel()
+    off += T * B
+    buf[off : off + T * B] = prev.astype(np.int32).view(np.uint32).ravel()
+    off += T * B
+    buf[off : off + T * B] = (
+        (consec.astype(np.uint32) << 16) | run.astype(np.uint16).astype(np.uint32)
+    ).ravel()
+    off += T * B
+    buf[off:] = pool8.view(">u4").astype(np.uint32)
+    return buf, pool_words, T, B
 
 
 def dispatch_tiles_device_entropy(view, cursor: int, grid, s: Settings, channels: int,
@@ -399,11 +443,7 @@ def dispatch_tiles_device_entropy(view, cursor: int, grid, s: Settings, channels
     dispatched = []
     for (tw, th), items in per_shape.items():
         count = tile_block_sizes(items[0][0], s, channels)[0] // 2
-        words_pool, bases = _payload_pool([p for _, p, _ in items])
-        bit_off = np.stack([sy[0] for _, _, sy in items])
-        prev = np.stack([sy[1] for _, _, sy in items])
-        consec = np.stack([sy[2] for _, _, sy in items])
-        run = np.stack([sy[3] for _, _, sy in items])
+        buf, pool_words, tcount, bcount = _pack_entropy_upload(items)
         span = _bucket_span(
             max(
                 decode_span_words(sy[0], len(p) * 8)
@@ -411,16 +451,9 @@ def dispatch_tiles_device_entropy(view, cursor: int, grid, s: Settings, channels
             )
         )
         efn = _entropy_decode_fn(
-            count, DECODE_BLOCK, words_pool.shape[0], min(span, words_pool.shape[0])
+            count, DECODE_BLOCK, pool_words, min(span, pool_words), tcount, bcount
         )
-        streams_dev = efn(
-            device_put_parallel(words_pool),
-            jnp.asarray(bases),
-            jnp.asarray(bit_off),
-            jnp.asarray(prev),
-            jnp.asarray(consec),
-            jnp.asarray(run),
-        )
+        streams_dev = efn(device_put_parallel(buf))
         dfn = _tile_decoder(tw, th, channels, s.wavelet, s.wrap, s.color)
         pixels_dev = dfn(streams_dev)
         dispatched.append(([t for t, _, _ in items], th, tw, pixels_dev))
