@@ -98,7 +98,7 @@ def _tile_encoder_fused_raw(
     quantization: int,
     gate: int,
     chroma_loss: int,
-    fill_last: bool = False,
+    fill_last: Optional[int] = None,
 ):
     """Fully fused device program (unjitted): (T, tile_h, tile_w,
     channels) u8 tiles -> (compressed bytes (T, budget) u8, total_bytes
@@ -107,10 +107,13 @@ def _tile_encoder_fused_raw(
     link. Returned raw so callers can jit with sharding annotations
     (parallel/tiles.py).
 
-    With `fill_last`, fwd takes (T, tile_h, tile_w, channels-1) u8
-    tiles plus a u8 scalar and broadcasts the scalar as the trailing
+    With `fill_last` (a u8 constant), fwd takes (T, tile_h, tile_w,
+    channels-1) u8 tiles and broadcasts the constant as the trailing
     channel on device — callers that detect a constant alpha plane
-    upload 25% fewer pixel bytes for the byte-identical blob."""
+    upload 25% fewer pixel bytes for the byte-identical blob. The
+    value is baked into the program (it is 255 in practice, so this
+    costs one compile, not one per image) rather than uploaded: a tiny
+    per-image device_put costs a full ~30 ms RPC through the tunnel."""
     schedule = geometry.lift_schedule(tile_w, tile_h)
     qg = level_qg(schedule, channels, quantization, gate, chroma_loss)
     if wavelet != Wavelet.NONE:
@@ -132,11 +135,11 @@ def _tile_encoder_fused_raw(
             return planes.reshape(planes.shape[:-3] + (-1,))
         return forward_tile(planes, schedule, wavelet, wrap, qg)
 
-    if fill_last:
+    if fill_last is not None:
 
-        def fwd(tiles_u8, last_val):
-            last = jnp.broadcast_to(
-                last_val.astype(jnp.uint8), tiles_u8.shape[:-1] + (1,)
+        def fwd(tiles_u8):
+            last = jnp.full(
+                tiles_u8.shape[:-1] + (1,), fill_last, dtype=jnp.uint8
             )
             return _fwd_full(jnp.concatenate([tiles_u8, last], axis=-1))
 
@@ -246,7 +249,7 @@ def dispatch_tiles_fused(image: np.ndarray, s: Settings):
             s.quantization,
             s.gate,
             s.chroma_loss,
-            fill_val is not None,
+            fill_val,
         )
         up_ch = channels - 1 if fill_val is not None else channels
         batch = np.stack(
@@ -256,10 +259,7 @@ def dispatch_tiles_fused(image: np.ndarray, s: Settings):
 
         # keep the coefficient stream handle: near-capacity tiles fall
         # back to the host coder on it instead of re-running the lift
-        if fill_val is not None:
-            stream_dev = fwd(device_put_parallel(batch), jnp.uint8(fill_val))
-        else:
-            stream_dev = fwd(device_put_parallel(batch))
+        stream_dev = fwd(device_put_parallel(batch))
         comp_bytes, totals_dev = pack(stream_dev)
         # start the (tiny but ~40 ms-latency) totals fetch now, on a
         # worker; the same task then immediately enqueues the bucketed
