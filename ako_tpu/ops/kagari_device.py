@@ -634,6 +634,17 @@ def kagari_decode_device(words, bit_off, prev0, consec0, run0, n_outputs: int,
     return ys.T.reshape(-1)[:n_outputs]
 
 
+def kagari_size_device(values):
+    """Exact compressed payload size in bytes of one serialized int16
+    stream — tokenize only, no rank/pack. total_bits is the sum of the
+    per-token gamma lengths (pack_bits computes the same sum as the
+    last exclusive-scan offset), so callers that need SIZES but not
+    BYTES (rate-control probes, tools/rate.py) skip the packer's rank
+    entirely and fetch one int32 per tile."""
+    _, nbits = tokenize(values)
+    return (jnp.sum(nbits) + 7) >> 3
+
+
 def kagari_encode_device(values, capacity_bytes: int, budget_bytes: int | None = None):
     """Full device-side Kagari encode of one serialized int16 stream.
     Returns (bytes_u8 (budget_bytes,), total_bytes scalar int32).

@@ -52,11 +52,9 @@ def _pyramid_fn(tile_w, tile_h, channels, wavelet, wrap, color, discard):
     return jax.jit(fn)
 
 
-@functools.lru_cache(maxsize=32)
-def _serialize_fn(tile_w, tile_h, channels, n_levels):
-    """Jitted: (lp, quads, q-array, g-array) -> serialized stream.
+def _serialize_raw(schedule, channels):
+    """(lp, quads, q-array, g-array) -> serialized stream (traceable).
     q/g are runtime inputs so one compiled program serves every probe."""
-    schedule = geometry.lift_schedule(tile_w, tile_h)
 
     def fn(lp, quads, qs, gs):
         batch = lp.shape[:-3]
@@ -76,6 +74,30 @@ def _serialize_fn(tile_w, tile_h, channels, n_levels):
             chunks.append(chunk.reshape(batch + (-1,)))
         lp_flat = lp.reshape(batch + (-1,))
         return jnp.concatenate([lp_flat] + chunks[::-1], axis=-1)
+
+    return fn
+
+
+@functools.lru_cache(maxsize=32)
+def _serialize_fn(tile_w, tile_h, channels, n_levels):
+    schedule = geometry.lift_schedule(tile_w, tile_h)
+    return jax.jit(_serialize_raw(schedule, channels))
+
+
+@functools.lru_cache(maxsize=32)
+def _probe_sizes_fn(tile_w, tile_h, channels, n_levels):
+    """Jitted fused probe: (lp, quads, qs, gs) -> (T,) int32 exact
+    compressed payload sizes. Serializes and tokenizes on device — the
+    coefficient streams never cross the host link (the round-2 probe
+    loop fetched ~10 MB of int16 per probe just to measure sizes)."""
+    from ako_tpu.ops.kagari_device import kagari_size_device
+
+    schedule = geometry.lift_schedule(tile_w, tile_h)
+    ser = _serialize_raw(schedule, channels)
+
+    def fn(lp, quads, qs, gs):
+        streams = ser(lp, quads, qs, gs)
+        return jax.vmap(kagari_size_device)(streams)
 
     return jax.jit(fn)
 
@@ -148,11 +170,48 @@ class _CachedEncoder:
         return head + b"".join(blocks)
 
     def size_at(self, q: int) -> int:
-        blob = self.encode_at(q)
-        if blob is None:
-            raise AkoError(Status.ERROR, "incompressible tile")
-        self._last = (q, blob)
-        return len(blob)
+        """Exact blob size at quantization q WITHOUT materializing the
+        blob: a fused device program serializes and tokenizes the
+        cached pyramid and returns one int32 per tile (the round-2
+        probe loop fetched the full ~10 MB coefficient streams per
+        probe and host-coded them just to measure sizes). Tiles inside
+        the host coder's near-capacity margin are re-coded on host so
+        the reference's exact bounds checks decide success, mirroring
+        encode.collect_tiles_blocks."""
+        from ako_tpu.encode import _CAPACITY_MARGIN
+        from ako_tpu.runtime.kagari import BLOCK_HEAD
+
+        s = self._settings_at(q)
+        total = container.HEAD_SIZE
+        for tiles, lp, quads in self._tile_pyramids(s):
+            tw, th = tiles[0].w, tiles[0].h
+            schedule = geometry.lift_schedule(tw, th)
+            qg = level_qg(schedule, self.channels, s.quantization, s.gate, s.chroma_loss)
+            qs = jnp.asarray([list(lv[0]) for lv in qg], dtype=jnp.int16)
+            gs = jnp.asarray([list(lv[1]) for lv in qg], dtype=jnp.int16)
+            sizes = np.asarray(
+                _probe_sizes_fn(tw, th, self.channels, len(schedule.levels))(
+                    lp, quads, qs, gs
+                )
+            ).astype(np.int64)
+            tds = geometry.tile_data_size(tw, th) * self.channels
+            capacity = tds - BLOCK_HEAD.size
+            risky = [
+                i for i, n in enumerate(sizes) if int(n) >= capacity - _CAPACITY_MARGIN
+            ]
+            if risky:
+                ser = _serialize_fn(tw, th, self.channels, len(schedule.levels))
+                streams = np.asarray(
+                    ser(lp, quads, qs, gs)[jnp.asarray(risky)]
+                )
+                for j, i in enumerate(risky):
+                    block = compress_block(streams[j], tds)
+                    if block is None:
+                        raise AkoError(Status.ERROR, "incompressible tile")
+                    sizes[i] = len(block) - BLOCK_HEAD.size
+            total += int(sizes.sum()) + BLOCK_HEAD.size * len(tiles)
+        self._last = q
+        return total
 
 
 def encode_with_ratio(
@@ -220,11 +279,12 @@ def encode_with_ratio(
     # Reference reuse quirk (akoenc.cpp:193-212): the LAST probe's blob
     # is emitted whenever its size numerically equals the chosen
     # endpoint's size — even on a size plateau where that probe ran at
-    # a DIFFERENT q than `chosen`. Replicated for byte parity.
-    last = getattr(enc, "_last", None)
-    if last is not None and last_size == chosen_size:
-        return last[1], chosen
-    blob = enc.encode_at(chosen)
+    # a DIFFERENT q than `chosen`. Probes no longer materialize blobs,
+    # so re-encode at the last probe's q — the codec is deterministic,
+    # so the bytes equal the blob the reference would have reused.
+    last_q = getattr(enc, "_last", None)
+    emit_q = last_q if (last_q is not None and last_size == chosen_size) else chosen
+    blob = enc.encode_at(emit_q)
     if blob is None:
         raise AkoError(Status.ERROR, "incompressible tile")
     return blob, chosen

@@ -2,11 +2,11 @@
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
-import jax.numpy as jnp
+
 from bench import synth_images, TILES
 import ako_tpu
 from ako_tpu.encode import checked_settings, collect_tiles_blocks, dispatch_tiles_fused
-from ako_tpu.core import geometry
+
 
 rng = np.random.default_rng(42)
 img = synth_images(rng, 1)[0]
