@@ -40,6 +40,16 @@ from ako_tpu.runtime.kagari import BLOCK_HEAD, compress_block
 #: reference's bounds checks (kagari.c:66-78,95-110) decide
 _CAPACITY_MARGIN = 16
 
+
+def pack_budget(capacity: int, quantization: int) -> int:
+    """Device Kagari packer byte budget. Capacity/2 for lossy: measured
+    per-tile ratios on photographic content at 128-px tiles are ~3.4:1,
+    so capacity/4 pushes most tiles into the (slow, exact) host
+    fallback — it regressed the end-to-end benchmark three times before
+    a direct count confirmed 77/80 tiles falling back."""
+    budget = capacity // 2 if quantization > 0 else capacity * 7 // 8
+    return max(budget, 4096)
+
 def _fetch_pool():
     """The shared transfer/IO worker pool (runtime.transfer) — used
     here for totals futures and per-bucket compressed-byte fetches."""
@@ -121,13 +131,7 @@ def _tile_encoder_fused_raw(
     else:
         tds = tile_w * tile_h * channels * 2
     capacity = tds - BLOCK_HEAD.size
-    # Budget = capacity/2 for lossy: measured per-tile ratios on
-    # photographic content at 128-px tiles are ~3.4:1, so capacity/4
-    # pushes most tiles into the (slow, exact) host fallback — it
-    # regressed the end-to-end benchmark three times before a direct
-    # count confirmed 77/80 tiles falling back.
-    budget = capacity // 2 if quantization > 0 else capacity * 7 // 8
-    budget = max(budget, 4096)
+    budget = pack_budget(capacity, quantization)
 
     def _fwd_full(tiles_u8):
         planes = to_planar_yuv(tiles_u8, color, discard_non_visible)

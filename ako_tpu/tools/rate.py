@@ -25,7 +25,7 @@ import numpy as np
 
 from ako_tpu.core import container, geometry
 from ako_tpu.core.settings import AkoError, Color, Compression, Settings, Status, Wavelet
-from ako_tpu.encode import checked_settings
+from ako_tpu.encode import checked_settings, pack_budget
 from ako_tpu.ops.colorspace import to_planar_yuv
 from ako_tpu.ops.lifting import _quantize_gate
 from ako_tpu.ops.quantization import level_qg
@@ -82,6 +82,19 @@ def _serialize_raw(schedule, channels):
 def _serialize_fn(tile_w, tile_h, channels, n_levels):
     schedule = geometry.lift_schedule(tile_w, tile_h)
     return jax.jit(_serialize_raw(schedule, channels))
+
+
+@functools.lru_cache(maxsize=32)
+def _rate_pack_fn(n_values: int, capacity: int, budget: int):
+    """Jitted vmapped device Kagari pack over (T, n_values) serialized
+    streams (same coder as the production fused encoder)."""
+    from ako_tpu.ops.kagari_device import kagari_encode_device
+
+    return jax.jit(
+        lambda streams: jax.vmap(
+            lambda v: kagari_encode_device(v, capacity, budget)
+        )(streams)
+    )
 
 
 @functools.lru_cache(maxsize=32)
@@ -148,11 +161,17 @@ class _CachedEncoder:
 
     def encode_at(self, q: int) -> Optional[bytes]:
         """Full blob at quantization q (None if an incompressible tile
-        fails, like the reference's error path)."""
+        fails, like the reference's error path). On a device backend
+        the entropy stage rides the device Kagari packer with the same
+        budget/fallback split and bucketed byte fetch as the production
+        encoder (encode.collect_tiles_blocks); on CPU the host coder is
+        used directly."""
         s = self._settings_at(q)
         head = container.head_write(self.channels, self.w, self.h, s)
-        grid_n = len(geometry.tile_grid(self.w, self.h, s.tiles_dimension))
-        blocks: list = [None] * grid_n
+        grid = geometry.tile_grid(self.w, self.h, s.tiles_dimension)
+        device_entropy = jax.default_backend() != "cpu"
+        blocks: list = [None] * len(grid)
+        dispatched = []
         for tiles, lp, quads in self._tile_pyramids(s):
             tw, th = tiles[0].w, tiles[0].h
             schedule = geometry.lift_schedule(tw, th)
@@ -160,13 +179,39 @@ class _CachedEncoder:
             qs = jnp.asarray([list(lv[0]) for lv in qg], dtype=jnp.int16)
             gs = jnp.asarray([list(lv[1]) for lv in qg], dtype=jnp.int16)
             ser = _serialize_fn(tw, th, self.channels, len(schedule.levels))
-            streams = np.asarray(ser(lp, quads, qs, gs))  # (T, n)
+            streams_dev = ser(lp, quads, qs, gs)  # (T, n) on device
             tds = geometry.tile_data_size(tw, th) * self.channels
+            if device_entropy:
+                from ako_tpu.encode import _fetch_pool, _prepare_collect
+                from ako_tpu.runtime.kagari import BLOCK_HEAD
+
+                capacity = tds - BLOCK_HEAD.size
+                budget = pack_budget(capacity, s.quantization)
+                comp_bytes, totals_dev = _rate_pack_fn(
+                    streams_dev.shape[-1], capacity, budget
+                )(streams_dev)
+                prep = _fetch_pool().submit(
+                    _prepare_collect, totals_dev, comp_bytes, capacity, budget
+                )
+                dispatched.append((tiles, streams_dev, prep, capacity, budget))
+                continue
+            streams = np.asarray(streams_dev)
             for i, t in enumerate(tiles):
                 block = compress_block(streams[i], tds)
                 if block is None:
                     return None
                 blocks[t.index] = block
+        if dispatched:
+            from ako_tpu.encode import collect_tiles_blocks
+
+            try:
+                for t, block in zip(
+                    grid, collect_tiles_blocks(s, self.channels, grid, dispatched)
+                ):
+                    if block is not None:
+                        blocks[t.index] = block
+            except AkoError:
+                return None
         return head + b"".join(blocks)
 
     def size_at(self, q: int) -> int:

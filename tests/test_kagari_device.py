@@ -102,6 +102,35 @@ class TestPipelineIntegration:
         assert_parity(streams[0])
 
 
+class TestSizeOnly:
+    """kagari_size_device must return exactly len(reference payload)
+    for any stream — it backs the rate-control probes, whose bisection
+    path (and therefore the emitted blob) depends on exact sizes."""
+
+    def test_matches_reference_sizes(self, rng):
+        from ako_tpu.ops.kagari_device import kagari_size_device
+
+        fn = jax.jit(kagari_size_device)
+        streams = [
+            rng.integers(-300, 300, size=257).astype(np.int16),
+            np.zeros(1024, np.int16),
+            np.repeat(rng.integers(-50, 50, size=64), 16).astype(np.int16),
+            np.array([7], np.int16),
+            np.array([-32768, 0, -32768, -32768, -32768, 5], np.int16),
+        ]
+        for v in streams:
+            ref = oracle.ref_kagari_encode(v, max(v.nbytes * 8, 256))
+            assert ref is not None
+            assert int(fn(jnp.asarray(v))) == len(ref)
+
+    def test_long_run_flush_sizes(self):
+        from ako_tpu.ops.kagari_device import kagari_size_device
+
+        v = np.full(70000, 3, np.int16)  # crosses the 65534 force-flush
+        ref = oracle.ref_kagari_encode(v, v.nbytes * 4)
+        assert int(jax.jit(kagari_size_device)(jnp.asarray(v))) == len(ref)
+
+
 class TestRankChunked:
     """The chunk-base rank (kept as an alternative to the sort-based
     rank; see CLAUDE.md perf notes) must equal searchsorted exactly."""
