@@ -235,6 +235,48 @@ class TestDeviceEntropyPath:
         assert a == b
 
 
+class TestNarrowBorderTiles:
+    """Tile grids whose remainder tiles are 1-2 px wide (or exactly
+    2 px tall) crash the REFERENCE encoder with AKO_ERROR, although its
+    decoder handles such tiles (PARITY.md divergence 7). We must encode
+    them correctly: blob decodable by the reference decoder with
+    pixels bit-identical to ours, and lossless round-trips exact."""
+
+    @pytest.mark.parametrize("wh", [(17, 16), (18, 16), (16, 18), (33, 16)])
+    def test_superset_of_reference_encoder(self, rng, wh):
+        from tests import oracle
+
+        w, h = wh
+        # Smooth content: 1-px border tiles of pure noise legitimately
+        # hit the incompressible-tile rule on both sides.
+        y, x = np.mgrid[0:h, 0:w].astype(np.float32)
+        img = np.clip(
+            120
+            + 60 * np.sin(x[..., None] / 9.0)
+            + 50 * np.cos(y[..., None] / 6.0)
+            + rng.normal(0, 4, size=(h, w, 3)),
+            0,
+            255,
+        ).astype(np.uint8)
+        s = Settings(quantization=16, tiles_dimension=16)
+        blob = ako_tpu.encode(img, s, device_entropy=False)
+        assert ako_tpu.encode(img, s, device_entropy=True) == blob
+        ours = ako_tpu.decode(blob)[0]
+        ref = oracle.ref_decode(blob)
+        assert ref is not None, "reference decoder rejected our blob"
+        np.testing.assert_array_equal(
+            np.asarray(ref[0]).reshape(ours.shape), ours
+        )
+
+    @pytest.mark.parametrize("wh", [(17, 16), (16, 18)])
+    def test_lossless_roundtrip(self, rng, wh):
+        w, h = wh
+        img = _img(rng, w, h, 3)
+        s = Settings(quantization=0, tiles_dimension=16)
+        blob = ako_tpu.encode(img, s)
+        np.testing.assert_array_equal(ako_tpu.decode(blob)[0], img)
+
+
 class TestTrailingChannelElision:
     """Constant alpha planes are elided from the host<->device pixel
     transfers (encode uploads channels-1 planes + a scalar; decode
