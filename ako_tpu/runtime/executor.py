@@ -15,6 +15,8 @@ gather of SURVEY.md §2.4.3).
 from __future__ import annotations
 
 import concurrent.futures as cf
+import queue
+import threading
 from typing import Iterable, Iterator, List, Optional, Tuple
 
 import numpy as np
@@ -234,3 +236,63 @@ class PipelineDecoder:
                 fut = io.submit(self._collect, disp, shape)
             if fut is not None:
                 yield fut.result()
+
+
+_STREAM_DONE = object()
+
+
+def roundtrip_iter(
+    images: Iterable[np.ndarray],
+    settings: Optional[Settings] = None,
+    workers: int = 4,
+    depth: int = 3,
+) -> Iterator[Tuple[bytes, np.ndarray]]:
+    """Full encode->decode round-trip as ONE overlapped stream,
+    yielding (blob, decoded_pixels) per image in order.
+
+    The encoder runs on its own thread feeding a bounded queue, so the
+    encode stream's uplink (raw pixels up) rides the link concurrently
+    with the decode stream's downlink (pixels down) — the two heavy
+    transfer directions of the codec are complementary, and the
+    tunneled link carries them full-duplex. A `depth`-image buffer
+    keeps the decoder fed across the encoder's per-image latency jitter
+    without unbounded memory growth.
+    """
+    enc = PipelineEncoder(settings, workers=workers)
+    dec = PipelineDecoder(workers=workers)
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+
+    def produce():
+        try:
+            for blob in enc.encode_iter(images):
+                q.put(blob)
+            q.put(_STREAM_DONE)
+        except BaseException as e:  # surface encoder failures in-order
+            q.put(e)
+
+    producer = threading.Thread(target=produce, daemon=True)
+    producer.start()
+
+    blobs: List[bytes] = []
+
+    def blob_stream() -> Iterator[bytes]:
+        while True:
+            item = q.get()
+            if item is _STREAM_DONE:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            blobs.append(item)
+            yield item
+
+    try:
+        for i, pixels in enumerate(dec.decode_iter(blob_stream())):
+            yield blobs[i], pixels
+    finally:
+        # if the consumer bailed early the producer may be blocked on a
+        # full queue; drain until it finishes
+        while producer.is_alive():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                producer.join(timeout=0.1)

@@ -66,3 +66,40 @@ def test_multihost_single_process_shard(rng):
         np.testing.assert_array_equal(img_out, ref)
     assert shard_stream([1, 2, 3, 4, 5], 0, 2) == [1, 3, 5]
     assert shard_stream([1, 2, 3, 4, 5], 1, 2) == [2, 4]
+
+
+def test_roundtrip_iter_matches_oneshot(rng):
+    from ako_tpu.runtime.executor import roundtrip_iter
+
+    images = [
+        rng.integers(0, 256, size=(40, 32, 3), dtype=np.uint8) for _ in range(4)
+    ]
+    s = Settings(quantization=16, tiles_dimension=16)
+    got = list(roundtrip_iter(images, s, workers=2, depth=2))
+    assert len(got) == len(images)
+    for img, (blob, pixels) in zip(images, got):
+        assert blob == ako_tpu.encode(img, s)
+        ref, _, _ = ako_tpu.decode(blob)
+        np.testing.assert_array_equal(pixels, ref)
+
+
+def test_roundtrip_iter_early_exit(rng):
+    """Abandoning the stream mid-way must not deadlock the producer."""
+    from ako_tpu.runtime.executor import roundtrip_iter
+
+    images = [
+        rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8) for _ in range(6)
+    ]
+    s = Settings(quantization=16)
+    it = roundtrip_iter(images, s, workers=2, depth=1)
+    next(it)
+    it.close()  # runs the generator's finally: drain + join
+
+
+def test_roundtrip_iter_propagates_encoder_error():
+    import pytest
+    from ako_tpu.runtime.executor import roundtrip_iter
+
+    images = [np.zeros((0, 4, 3), np.uint8)]  # invalid dimensions
+    with pytest.raises(ako_tpu.AkoError):
+        list(roundtrip_iter(images, Settings()))
