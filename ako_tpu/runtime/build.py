@@ -22,6 +22,9 @@ _lib = None
 
 def _compile() -> None:
     cc = os.environ.get("CC", "cc")
+    # pid-unique temp: concurrent processes (pytest-xdist workers) may
+    # race to build; os.replace keeps the install atomic either way
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
     cmd = [
         cc,
         "-O2",
@@ -31,10 +34,10 @@ def _compile() -> None:
         _SRC,
         "-lm",
         "-o",
-        _LIB + ".tmp",
+        tmp,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
-    os.replace(_LIB + ".tmp", _LIB)
+    os.replace(tmp, _LIB)
 
 
 def load() -> ctypes.CDLL:

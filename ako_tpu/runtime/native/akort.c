@@ -152,11 +152,14 @@ static size_t sink_finish(BitSink *s, const uint8_t *start)
 static uint16_t source_get(BitSource *s, int *bits_out)
 {
 	if (s->acc == 0 || s->used < (ACC_BITS - REFILL_THRESHOLD)) {
+		/* plain while loops: entering with used > 56 (possible only on
+		   corrupt input, via acc == 0) must not shift by a negative
+		   count — reading nothing falls through to the acc == 0 check */
 		if (s->pos + ((ACC_BITS - s->used) / 8) < s->lim) {
-			do {
+			while (s->used < (ACC_BITS - 8)) {
 				s->used += 8;
 				s->acc |= (uint64_t)(*s->pos++) << (ACC_BITS - s->used);
-			} while (s->used < (ACC_BITS - 8));
+			}
 		} else {
 			while (s->used < (ACC_BITS - 8) && s->pos < s->lim) {
 				s->used += 8;

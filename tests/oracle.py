@@ -45,11 +45,15 @@ def build() -> str:
     srcs = sorted(glob.glob(os.path.join(REF, "library", "*.c")))
     newest = max(os.path.getmtime(f) for f in srcs)
     if not os.path.exists(LIB_PATH) or os.path.getmtime(LIB_PATH) < newest:
+        # pid-unique temp + atomic replace: concurrent pytest-xdist
+        # workers may race to build
+        tmp = f"{LIB_PATH}.{os.getpid()}.tmp"
         subprocess.run(
-            ["gcc", "-O2", "-fPIC", "-shared", *srcs, "-lm", "-o", LIB_PATH],
+            ["gcc", "-O2", "-fPIC", "-shared", *srcs, "-lm", "-o", tmp],
             check=True,
             capture_output=True,
         )
+        os.replace(tmp, LIB_PATH)
     return LIB_PATH
 
 
