@@ -120,7 +120,40 @@ def bench_ref(images, settings):
 RUNS = 5
 
 
+def _preflight(timeout_s: float = 300.0) -> bool:
+    """The tunneled TPU backend can be down outright, in which case
+    jax.devices() hangs indefinitely in-process. Probe it in a
+    subprocess with a timeout so a dead tunnel fails the benchmark
+    loudly instead of hanging the driver."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        return False
+
+
 def main() -> int:
+    if not _preflight():
+        print(
+            json.dumps(
+                {
+                    "metric": "pipelined encode+decode MP/s (1024x1280 RGBA q16)",
+                    "value": 0.0,
+                    "unit": "MP/s",
+                    "vs_baseline": 0.0,
+                    "error": "device backend unreachable (tunnel down?)",
+                }
+            )
+        )
+        return 1
+
     import ako_tpu
 
     rng = np.random.default_rng(42)
