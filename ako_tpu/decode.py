@@ -32,6 +32,7 @@ from typing import NamedTuple
 
 from ako_tpu.ops.colorspace import to_interleaved_u8
 from ako_tpu.ops.lifting import inverse_tile
+from ako_tpu.utils.tracing import traced
 
 
 class PixOut(NamedTuple):
@@ -475,6 +476,7 @@ def dispatch_tiles_device_entropy(view, cursor: int, grid, s: Settings, channels
     return dispatched
 
 
+@traced
 def decode(
     blob: bytes,
     events: Optional[EventsCallback] = None,

@@ -34,6 +34,7 @@ from ako_tpu.ops.kagari_device import kagari_encode_device
 from ako_tpu.ops.lifting import forward_tile
 from ako_tpu.ops.quantization import level_qg
 from ako_tpu.runtime.kagari import BLOCK_HEAD, compress_block
+from ako_tpu.utils.tracing import traced
 
 #: device-entropy fallback margin: within this many bytes of capacity,
 #: defer to the host coder so the exact failure semantics of the
@@ -376,6 +377,7 @@ def encode_tiles_blocks(
     return out
 
 
+@traced
 def encode(
     image: np.ndarray,
     settings: Optional[Settings] = None,

@@ -169,3 +169,20 @@ class TestDeveloperDump:
         np.testing.assert_array_equal(
             pixels, [0, 0, 1, 254, 255, 255, 255, 0]
         )
+
+
+class TestProfilerTrace:
+    def test_trace_dir_populated(self, rng, tmp_path, monkeypatch):
+        """AKO_TPU_TRACE_DIR wraps encode/decode in a jax profiler
+        trace (the TPU-native analog of the reference's -b per-stage
+        stopwatches, SURVEY.md §5)."""
+        trace_dir = str(tmp_path / "trace")
+        monkeypatch.setenv("AKO_TPU_TRACE_DIR", trace_dir)
+        img = rng.integers(0, 256, size=(24, 16, 3), dtype=np.uint8)
+        blob = ako_tpu.encode(img, Settings(quantization=16))
+        out, _, _ = ako_tpu.decode(blob)
+        np.testing.assert_array_equal(out.shape, img.shape)
+        import glob as _glob
+
+        files = _glob.glob(os.path.join(trace_dir, "**", "*"), recursive=True)
+        assert any(os.path.isfile(f) for f in files), files
