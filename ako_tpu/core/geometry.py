@@ -20,6 +20,16 @@ BLOCK_HEAD_BYTES = 4  # uint32 compressed-block size per tile
 HEAD_BYTES = 16  # container header
 
 
+def pow2_bucket(m: int, floor: int) -> int:
+    """Smallest power-of-two >= m, at least `floor`. Used to bucket
+    content-dependent widths (gather planes, decode window spans) so
+    the number of compiled programs stays logarithmic in variety."""
+    w = floor
+    while w < m:
+        w *= 2
+    return w
+
+
 def divide_plus_one(v: int) -> int:
     """Ceil-half used for odd lift dimensions (library/misc.c:98-101)."""
     return v // 2 if v % 2 == 0 else (v + 1) // 2

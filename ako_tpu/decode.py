@@ -298,10 +298,7 @@ def read_tile_stream(view, cursor: int, t, s: Settings, channels: int):
 def _bucket_span(m: int) -> int:
     """Power-of-two bucketed decode window span: keeps the number of
     compiled entropy-decode programs logarithmic in content variety."""
-    w = 8
-    while w < m:
-        w *= 2
-    return w
+    return geometry.pow2_bucket(m, 8)
 
 
 @functools.lru_cache(maxsize=256)

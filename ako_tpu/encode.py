@@ -52,11 +52,13 @@ def pack_budget(capacity: int, quantization: int) -> int:
     return max(budget, 4096)
 
 def _fetch_pool():
-    """The shared transfer/IO worker pool (runtime.transfer) — used
-    here for totals futures and per-bucket compressed-byte fetches."""
-    from ako_tpu.runtime.transfer import _get_pool
+    """The shared TASK pool (runtime.transfer.io_pool) — used here for
+    totals/prepare futures and per-bucket compressed-byte fetches.
+    These tasks call device_get_parallel, which fans chunk fetches out
+    on the separate leaf chunk pool, so they must not share it."""
+    from ako_tpu.runtime.transfer import io_pool
 
-    return _get_pool()
+    return io_pool()
 
 
 def checked_settings(s: Optional[Settings]) -> Settings:

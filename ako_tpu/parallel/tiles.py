@@ -178,10 +178,7 @@ def _bucket_width(m: int, budget: int) -> int:
     """Smallest power-of-two >= m (clamped to budget): the all-gather
     width is bounded by twice the largest actual compressed size while
     keeping the number of compiled gather programs logarithmic."""
-    w = 64
-    while w < m:
-        w *= 2
-    return min(w, budget)
+    return min(geometry.pow2_bucket(m, 64), budget)
 
 
 @functools.lru_cache(maxsize=512)

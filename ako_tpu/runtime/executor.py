@@ -17,6 +17,7 @@ from __future__ import annotations
 import concurrent.futures as cf
 import queue
 import threading
+from collections import deque
 from typing import Iterable, Iterator, List, Optional, Tuple
 
 import numpy as np
@@ -261,11 +262,22 @@ def roundtrip_iter(
     enc = PipelineEncoder(settings, workers=workers)
     dec = PipelineDecoder(workers=workers)
     q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    stop = threading.Event()
+
+    def feed() -> Iterator[np.ndarray]:
+        # stop-aware input wrapper: on early consumer exit the producer
+        # finishes only the in-flight images, not the whole stream
+        for image in images:
+            if stop.is_set():
+                return
+            yield image
 
     def produce():
         try:
-            for blob in enc.encode_iter(images):
+            for blob in enc.encode_iter(feed()):
                 q.put(blob)
+                if stop.is_set():
+                    return
             q.put(_STREAM_DONE)
         except BaseException as e:  # surface encoder failures in-order
             q.put(e)
@@ -273,7 +285,10 @@ def roundtrip_iter(
     producer = threading.Thread(target=produce, daemon=True)
     producer.start()
 
-    blobs: List[bytes] = []
+    # consumed-but-not-yet-yielded blobs only (the decoder's pipeline
+    # holds at most a couple) — popped on yield so a long stream does
+    # not accumulate every blob
+    blobs: "deque[bytes]" = deque()
 
     def blob_stream() -> Iterator[bytes]:
         while True:
@@ -286,11 +301,12 @@ def roundtrip_iter(
             yield item
 
     try:
-        for i, pixels in enumerate(dec.decode_iter(blob_stream())):
-            yield blobs[i], pixels
+        for pixels in dec.decode_iter(blob_stream()):
+            yield blobs.popleft(), pixels
     finally:
         # if the consumer bailed early the producer may be blocked on a
-        # full queue; drain until it finishes
+        # full queue; signal stop and drain until it finishes
+        stop.set()
         while producer.is_alive():
             try:
                 q.get_nowait()

@@ -29,13 +29,17 @@ _UP_CHUNKS = int(os.environ.get("AKO_XFER_UP_CHUNKS", "1"))
 _DOWN_CHUNKS = int(os.environ.get("AKO_XFER_DOWN_CHUNKS", "8"))
 
 _pool: Optional[cf.ThreadPoolExecutor] = None
+_io_pool: Optional[cf.ThreadPoolExecutor] = None
 _pool_lock = threading.Lock()
 
 
 def _get_pool() -> cf.ThreadPoolExecutor:
-    """The process-wide transfer/IO worker pool: chunked puts/fetches,
-    tiny-control-fetch overlap, bucket fetches and sync scans all share
-    it (one lock-guarded singleton — see also encode._fetch_pool)."""
+    """The process-wide CHUNK pool. Invariant: only LEAF work is
+    submitted here (single jax.device_put / np.asarray / native scan
+    calls that never wait on other futures). Tasks that themselves call
+    device_put_parallel/device_get_parallel/fetch_bands must run on
+    io_pool() instead — a task waiting on this pool while occupying one
+    of its workers deadlocks once the pool saturates."""
     global _pool
     if _pool is None:
         with _pool_lock:
@@ -45,6 +49,21 @@ def _get_pool() -> cf.ThreadPoolExecutor:
                     thread_name_prefix="ako-xfer",
                 )
     return _pool
+
+
+def io_pool() -> cf.ThreadPoolExecutor:
+    """The process-wide TASK pool for work that may itself block on
+    chunked transfers (collect-time group fetches, dispatch-time
+    prepare tasks). Separate from the chunk pool so nested
+    submit-and-wait cannot starve the leaf transfers."""
+    global _io_pool
+    if _io_pool is None:
+        with _pool_lock:
+            if _io_pool is None:
+                _io_pool = cf.ThreadPoolExecutor(
+                    max_workers=8, thread_name_prefix="ako-io"
+                )
+    return _io_pool
 
 
 def device_put_parallel(arr: np.ndarray, chunks: int = _UP_CHUNKS):

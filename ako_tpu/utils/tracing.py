@@ -19,7 +19,10 @@ import os
 import threading
 
 _ENV = "AKO_TPU_TRACE_DIR"
-_active = threading.local()
+# jax allows one profiler session per PROCESS, so the guard is a
+# process-wide try-lock: concurrent/nested calls run untraced instead
+# of crashing the second trace
+_trace_lock = threading.Lock()
 
 
 def traced(fn):
@@ -29,15 +32,14 @@ def traced(fn):
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
         trace_dir = os.environ.get(_ENV)
-        if not trace_dir or getattr(_active, "on", False):
+        if not trace_dir or not _trace_lock.acquire(blocking=False):
             return fn(*args, **kwargs)
         import jax
 
-        _active.on = True
         try:
             with jax.profiler.trace(trace_dir):
                 return fn(*args, **kwargs)
         finally:
-            _active.on = False
+            _trace_lock.release()
 
     return wrapper

@@ -67,14 +67,15 @@ def synth_images(rng, n: int) -> list:
     return out
 
 
-def bench_ours(images, settings):
+def bench_ours(images, settings, warm=True):
     from ako_tpu.runtime.executor import PipelineDecoder, PipelineEncoder
 
     enc = PipelineEncoder(settings, workers=4)
     dec = PipelineDecoder(workers=4)
 
-    blobs = enc.encode_batch(images)  # warm-up / compile
-    outs = list(dec.decode_iter(blobs))
+    if warm:  # compile + caches; skipped inside the timed-runs loop
+        blobs = enc.encode_batch(images)
+        list(dec.decode_iter(blobs))
 
     t0 = time.perf_counter()
     blobs = enc.encode_batch(images)
@@ -85,7 +86,7 @@ def bench_ours(images, settings):
     return t_enc + t_dec, blobs, outs
 
 
-def bench_ours_roundtrip(images, settings):
+def bench_ours_roundtrip(images, settings, warm=True):
     """Same workload as bench_ours, but encode and decode run as ONE
     overlapped stream (runtime.executor.roundtrip_iter): the encode
     uplink and decode downlink are complementary directions of the
@@ -93,19 +94,21 @@ def bench_ours_roundtrip(images, settings):
     of their sum. Select with AKO_BENCH_MODE=roundtrip."""
     from ako_tpu.runtime.executor import roundtrip_iter
 
-    list(roundtrip_iter(images, settings, workers=4))  # warm-up / compile
+    if warm:  # compile + caches; skipped inside the timed-runs loop
+        list(roundtrip_iter(images, settings, workers=4))
     t0 = time.perf_counter()
     pairs = list(roundtrip_iter(images, settings, workers=4))
     t = time.perf_counter() - t0
     return t, [b for b, _ in pairs], [p for _, p in pairs]
 
 
-def bench_ref(images, settings):
+def bench_ref(images, settings, warm=True):
     from tests import oracle
     from ako_tpu.encode import checked_settings
 
     s = checked_settings(settings)
-    blobs = [oracle.ref_encode(img, s) for img in images]  # warm
+    if warm:
+        [oracle.ref_encode(img, s) for img in images]
     t0 = time.perf_counter()
     blobs = [oracle.ref_encode(img, s) for img in images]
     t_enc = time.perf_counter() - t0
@@ -166,8 +169,10 @@ def main() -> int:
         else bench_ours
     )
     times_ours = []
-    for _ in range(RUNS):
-        t, blobs_ours, outs_ours = ours_fn(images, settings)
+    for i in range(RUNS):
+        # warm (compile + caches) only on the first pass; re-warming
+        # every timed run would move ~2x the data the bench measures
+        t, blobs_ours, outs_ours = ours_fn(images, settings, warm=(i == 0))
         times_ours.append(t)
     t_ours = sorted(times_ours)[RUNS // 2]
     mps = STREAM_N * MEGAPIXELS / t_ours
@@ -175,8 +180,8 @@ def main() -> int:
     # The oracle is a hard requirement: a broken oracle build must fail
     # the benchmark loudly, not quietly report vs_baseline 0.
     times_ref = []
-    for _ in range(RUNS):
-        t, blobs_ref, outs_ref = bench_ref(images, settings)
+    for i in range(RUNS):
+        t, blobs_ref, outs_ref = bench_ref(images, settings, warm=(i == 0))
         times_ref.append(t)
     t_ref = sorted(times_ref)[RUNS // 2]
 

@@ -96,6 +96,29 @@ def test_roundtrip_iter_early_exit(rng):
     it.close()  # runs the generator's finally: drain + join
 
 
+def test_roundtrip_iter_early_exit_bounded(rng):
+    """Early exit must CANCEL the producer: only the in-flight images
+    are encoded, not the whole remaining stream (which may be huge or
+    unbounded)."""
+    from ako_tpu.runtime.executor import roundtrip_iter
+
+    pulled = 0
+
+    def stream():
+        nonlocal pulled
+        img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+        while True:  # endless input
+            pulled += 1
+            yield img
+
+    s = Settings(quantization=16)
+    it = roundtrip_iter(stream(), s, workers=2, depth=1)
+    next(it)
+    it.close()  # must return: the stop signal ends the feed
+    # pipeline depth + queue depth bound the pulls (generous margin)
+    assert pulled < 12, pulled
+
+
 def test_roundtrip_iter_propagates_encoder_error():
     import pytest
     from ako_tpu.runtime.executor import roundtrip_iter
@@ -103,3 +126,38 @@ def test_roundtrip_iter_propagates_encoder_error():
     images = [np.zeros((0, 4, 3), np.uint8)]  # invalid dimensions
     with pytest.raises(ako_tpu.AkoError):
         list(roundtrip_iter(images, Settings()))
+
+
+def test_concurrent_encodes_no_pool_deadlock(rng, monkeypatch):
+    """Task-level fetches (collect group maps) must not share a pool
+    with the chunk-level leaf transfers they wait on: with a single
+    bounded pool, >=8 concurrent group fetches each blocking on nested
+    chunk futures starved the pool and hung forever."""
+    import threading
+
+    import ako_tpu.runtime.transfer as tr
+
+    monkeypatch.setattr(tr, "_MIN_PARALLEL_BYTES", 1)
+    # 96x96 @ tiles 16 -> 36 tiles -> 4 collect groups of 9 rows each;
+    # two concurrent encodes -> 8 task-level fetches, every one fanning
+    # chunk fetches out (row count 9 >= 8 chunks, nbytes >= 1)
+    imgs = [
+        rng.integers(0, 256, size=(96, 96, 3), dtype=np.uint8) for _ in range(2)
+    ]
+    s = Settings(quantization=16, tiles_dimension=16)
+    results = {}
+
+    def enc(i, img):
+        results[i] = ako_tpu.encode(img, s, device_entropy=True)
+
+    threads = [
+        threading.Thread(target=enc, args=(i, im), daemon=True)
+        for i, im in enumerate(imgs)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not any(t.is_alive() for t in threads), "pool deadlock"
+    for i, im in enumerate(imgs):
+        assert results[i] == ako_tpu.encode(im, s)
