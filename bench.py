@@ -123,23 +123,30 @@ def bench_ref(images, settings, warm=True):
 RUNS = 5
 
 
-def _preflight(timeout_s: float = 300.0) -> bool:
+def _preflight(probe_timeout_s: float = 240.0) -> bool:
     """The tunneled TPU backend can be down outright, in which case
     jax.devices() hangs indefinitely in-process. Probe it in a
-    subprocess with a timeout so a dead tunnel fails the benchmark
-    loudly instead of hanging the driver."""
+    subprocess with a timeout — retrying across a window, since
+    outages are often transient — so a dead tunnel fails the benchmark
+    loudly instead of hanging the driver forever."""
     import subprocess
 
-    try:
-        subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s,
-            check=True,
-            capture_output=True,
-        )
-        return True
-    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
-        return False
+    window_s = float(os.environ.get("AKO_BENCH_PREFLIGHT_S", "1800"))
+    deadline = time.monotonic() + window_s
+    while True:
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout_s,
+                check=True,
+                capture_output=True,
+            )
+            return True
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            if time.monotonic() >= deadline:
+                return False
+            print("bench: device backend unreachable, retrying...", file=sys.stderr)
+            time.sleep(60)
 
 
 def main() -> int:
