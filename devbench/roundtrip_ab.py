@@ -28,13 +28,13 @@ settings = ako_tpu.Settings(quantization=16, tiles_dimension=bench.TILES)
 
 mp = bench.STREAM_N * bench.MEGAPIXELS
 seq, rt = [], []
-# one warm pass each (compile + caches)
-bench.bench_ours(images, settings)
-bench.bench_ours_roundtrip(images, settings)
+# one warm pass each (compile + caches); timed reps skip re-warming
+bench.bench_ours(images, settings, warm=False)
+bench.bench_ours_roundtrip(images, settings, warm=False)
 for rep in range(REPS):
-    t, b1, o1 = bench.bench_ours(images, settings)
+    t, b1, o1 = bench.bench_ours(images, settings, warm=False)
     seq.append(t)
-    t, b2, o2 = bench.bench_ours_roundtrip(images, settings)
+    t, b2, o2 = bench.bench_ours_roundtrip(images, settings, warm=False)
     rt.append(t)
     assert b1 == b2 and all(np.array_equal(a, c) for a, c in zip(o1, o2))
     print(f"rep {rep}: seq {mp/seq[-1]:.2f} MP/s, roundtrip {mp/rt[-1]:.2f} MP/s",
