@@ -16,8 +16,9 @@ import numpy as np
 import pytest
 
 import ako_tpu
-from ako_tpu.core.settings import Color, Settings, Wavelet, Wrap
-from tests import oracle
+from ako_tpu.core import geometry
+from ako_tpu.core.settings import Color, Compression, Settings, Wavelet, Wrap
+from tests import oracle, refquirks
 
 pytestmark = pytest.mark.skipif(
     not oracle.available(), reason="reference sources not available"
@@ -89,13 +90,118 @@ def test_random_settings_full_contract(seed):
             np.asarray(ref_dec[0]).reshape(got.shape), got, err_msg=str((seed, s))
         )
         return
-    assert ours == ref_blob, (seed, s)
+    # The reference mis-encodes channels 1.. of a 5x5 corner tile
+    # (workarea spill — PARITY.md divergence 10); the quirk model
+    # predicts its blob exactly from ours, and is the identity
+    # everywhere else.
+    assert refquirks.expected_ref_blob(img, s, ours) == ref_blob, (seed, s)
 
     ours_dev = ako_tpu.encode(img, s, device_entropy=True)
-    assert ours_dev == ref_blob, (seed, s)
+    assert ours_dev == ours, (seed, s)
 
-    ref_img, _ref_channels = oracle.ref_decode(ref_blob)[:2]
+    # Cross-decoder agreement per blob (ours == ref_blob except under
+    # the 5x5 spill quirk, where each is checked independently).
+    for blob in {ours, ref_blob}:
+        ref_img, _ref_channels = oracle.ref_decode(blob)[:2]
+        got = ako_tpu.decode(blob, device_entropy=False)[0]
+        np.testing.assert_array_equal(
+            got, np.asarray(ref_img).reshape(got.shape), err_msg=str((seed, s))
+        )
     got = ako_tpu.decode(ours, device_entropy=False)[0]
-    np.testing.assert_array_equal(got, np.asarray(ref_img).reshape(got.shape), err_msg=str((seed, s)))
     got_dev = ako_tpu.decode(ours, device_entropy=True)[0]
     np.testing.assert_array_equal(got_dev, got, err_msg=str((seed, s)))
+
+
+def test_5x5_is_the_only_spill_shape():
+    """The reference's second-lift aux buffer [8*tw*th, 12*tw*th) int16s
+    (lifting.c:232) exceeds the plane allocation w*h + 2w + 2h
+    (misc.c:104-107) for exactly one tile shape: 5x5, by 3 int16s."""
+    spills = []
+    for w in range(3, 400):
+        for h in range(3, 400):
+            plane = w * h + geometry.planes_spacing(w, h)
+            sched = geometry.lift_schedule(w, h)
+            for i, lvl in enumerate(sched.levels):
+                if i == 0:
+                    continue  # first lift's aux is workarea B (lifting.c:244-247)
+                if 12 * lvl.target_w * lvl.target_h > plane:
+                    spills.append((w, h, 12 * lvl.target_w * lvl.target_h - plane))
+    assert spills == [(5, 5, 3)]
+
+
+class Test5x5SpillQuirk:
+    """The quirk model must reproduce the reference blob bit-exactly
+    for 5x5 corner tiles across wavelets, wraps, colors, channel
+    counts, grids and q/gate — and both decoders must agree on both
+    blobs (tests/refquirks.py docstring has the full mechanism)."""
+
+    CASES = [
+        (Wavelet.CDF53, Wrap.MIRROR, Color.NONE, 2, (5, 5, 0), 16, 4),
+        (Wavelet.CDF53, Wrap.CLAMP, Color.NONE, 2, (5, 5, 0), 0, 0),
+        (Wavelet.CDF53, Wrap.REPEAT, Color.YCOCG, 3, (5, 5, 0), 16, 0),
+        (Wavelet.CDF53, Wrap.ZERO, Color.YCOCG, 4, (5, 5, 0), 0, 4),
+        (Wavelet.DD137, Wrap.MIRROR, Color.YCOCG, 3, (5, 5, 0), 64, 0),
+        (Wavelet.DD137, Wrap.REPEAT, Color.NONE, 2, (21, 21, 16), 16, 0),
+        (Wavelet.HAAR, Wrap.CLAMP, Color.NONE, 2, (5, 5, 0), 0, 0),
+        (Wavelet.HAAR, Wrap.MIRROR, Color.YCOCG, 4, (21, 21, 16), 16, 4),
+        (Wavelet.CDF53, Wrap.MIRROR, Color.NONE, 2, (69, 21, 16), 16, 4),
+        (Wavelet.CDF53, Wrap.MIRROR, Color.SUBTRACT_G, 3, (37, 21, 16), 5, 0),
+        (Wavelet.DD137, Wrap.ZERO, Color.YCOCG, 4, (21, 37, 16), 700, 24),
+        (Wavelet.CDF53, Wrap.CLAMP, Color.YCOCG, 2, (13, 13, 8), 16, 0),
+    ]
+
+    @pytest.mark.parametrize("idx", range(len(CASES)))
+    def test_model_reproduces_reference_blob(self, idx):
+        case = self.CASES[idx]
+        wavelet, wrap, color, channels, (w, h, tiles), q, gate = case
+        rng = np.random.default_rng(4000 + idx)
+        y, x = np.mgrid[0:h, 0:w].astype(np.float32)
+        base = 120 + 70 * np.sin(x / 3.0) + 60 * np.cos(y / 2.0)
+        img = np.clip(
+            base[..., None] + rng.normal(0, 10, size=(h, w, channels)), 0, 255
+        ).astype(np.uint8)
+        s = Settings(
+            wavelet=wavelet, wrap=wrap, color=color, tiles_dimension=tiles,
+            quantization=q, gate=gate, chroma_loss=1, discard_non_visible=0,
+        )
+        ref_blob = oracle.ref_encode(img, s)
+        try:
+            ours = ako_tpu.encode(img, s, device_entropy=False)
+        except ako_tpu.AkoError:
+            assert ref_blob is None, case
+            return
+        expected = refquirks.expected_ref_blob(img, s, ours)
+        if ref_blob is None:
+            assert expected is None, case
+            return
+        assert expected == ref_blob, case
+        assert ako_tpu.encode(img, s, device_entropy=True) == ours, case
+        for blob in {ours, ref_blob}:
+            ref_dec = oracle.ref_decode(blob)
+            assert ref_dec is not None, case
+            got = ako_tpu.decode(blob, device_entropy=False)[0]
+            np.testing.assert_array_equal(
+                got, np.asarray(ref_dec[0]).reshape(got.shape), err_msg=str(case)
+            )
+
+    def test_quirk_actually_fires(self):
+        """At least one canonical case where the reference's blob truly
+        differs from ours (guards against the model degenerating into
+        the identity)."""
+        rng = np.random.default_rng(7)
+        img = np.repeat(rng.integers(0, 256, (5, 5, 1), dtype=np.uint8), 2, axis=-1)
+        s = Settings(
+            wavelet=Wavelet.CDF53, wrap=Wrap.MIRROR, color=Color.NONE,
+            compression=Compression.KAGARI, tiles_dimension=0,
+            quantization=16, gate=4, chroma_loss=3, discard_non_visible=1,
+        )
+        ref_blob = oracle.ref_encode(img, s)
+        ours = ako_tpu.encode(img, s, device_entropy=False)
+        assert ours != ref_blob
+        assert refquirks.expected_ref_blob(img, s, ours) == ref_blob
+        # ours round-trips losslessly at these dims (q/gate curves are
+        # identity for a 5x5 tile at q=16/g=4); the reference's cannot.
+        got = ako_tpu.decode(ours, device_entropy=False)[0]
+        np.testing.assert_array_equal(got, img)
+        ref_got = np.asarray(oracle.ref_decode(ref_blob)[0]).reshape(img.shape)
+        assert not np.array_equal(ref_got, img)
