@@ -63,12 +63,16 @@ def _pix_out(ileaved, channels: int):
 
 
 def pixels_ready(out) -> None:
-    """Wait for a decoder output (PixOut or bands) to be computed.
-    Waits on ONE leaf only: every leaf comes from the same device
-    program, and through the tunnel each block_until_ready costs its
-    own ~30 ms RPC round trip (nine leaves measured ~260 ms of pure
+    """Wait for a decoder output (PixOut, bands, or TransportOut) to be
+    computed. Waits on ONE leaf only: every leaf comes from the same
+    device program, and through the tunnel each block_until_ready costs
+    its own ~30 ms RPC round trip (nine leaves measured ~260 ms of pure
     handshake)."""
-    if isinstance(out, PixOut):
+    from ako_tpu.runtime.transport import TransportOut
+
+    if isinstance(out, TransportOut):
+        out.ready()
+    elif isinstance(out, PixOut):
         out.amm.block_until_ready()
     else:
         out[0].block_until_ready()
@@ -92,9 +96,17 @@ def _fetch_pix_out(out: PixOut):
 def place_pixels(image: np.ndarray, tiles, th: int, tw: int, out) -> None:
     """Fetch a decoder output and write each tile into `image` at its
     placement. For PixOut, the trailing channel crosses the link only
-    when some tile's (min, max) probe says it is non-constant."""
+    when some tile's (min, max) probe says it is non-constant; for
+    TransportOut the pixels arrive as a lossless q0 bitstream unpacked
+    on the host CPU (runtime/transport.py)."""
     from ako_tpu.runtime.transfer import fetch_bands
+    from ako_tpu.runtime.transport import TransportOut, fetch_pixels
 
+    if isinstance(out, TransportOut):
+        pix = fetch_pixels(out)
+        for i, t in enumerate(tiles):
+            image[t.y : t.y + th, t.x : t.x + tw, :] = pix[i]
+        return
     if not isinstance(out, PixOut):
         pix = fetch_bands(out)
         for i, t in enumerate(tiles):
@@ -111,7 +123,10 @@ def assemble_pixels(out) -> np.ndarray:
     """Fetch a decoder output as one (T, th, tw, C) u8 array (the
     streaming-iterator surface, which yields per-tile arrays)."""
     from ako_tpu.runtime.transfer import fetch_bands
+    from ako_tpu.runtime.transport import TransportOut, fetch_pixels
 
+    if isinstance(out, TransportOut):
+        return fetch_pixels(out)
     if not isinstance(out, PixOut):
         return fetch_bands(out)
     pix, amm, alpha = _fetch_pix_out(out)
@@ -129,10 +144,13 @@ def _tile_decoder(
     wavelet: Wavelet,
     wrap: Wrap,
     color: Color,
+    out: str = "bands",
 ):
     """Jitted device program: (T, coeff_count) int16 -> PixOut (or
     plain leading-axis bands) of (T, tile_h, tile_w, channels) u8
-    tiles (band_split: fetch-friendly distinct outputs)."""
+    tiles (band_split: fetch-friendly distinct outputs). out="ileaved"
+    returns the raw interleaved tensor instead -- the transport path
+    chains the q0 re-encode onto it (runtime/transport.py)."""
     schedule = geometry.lift_schedule(tile_w, tile_h)
 
     def fn(coeffs):
@@ -140,7 +158,8 @@ def _tile_decoder(
             planes = coeffs.reshape(coeffs.shape[:-1] + (channels, tile_h, tile_w))
         else:
             planes = inverse_tile(coeffs, schedule, wavelet, wrap, channels)
-        return _pix_out(to_interleaved_u8(planes, color, channels), channels)
+        ileaved = to_interleaved_u8(planes, color, channels)
+        return ileaved if out == "ileaved" else _pix_out(ileaved, channels)
 
     return jax.jit(fn)
 
@@ -168,6 +187,7 @@ def _tile_decoder_split(
     wavelet: Wavelet,
     wrap: Wrap,
     color: Color,
+    out: str = "bands",
 ):
     """Upload-lean decoder: the largest levels' highpass bodies arrive
     as int8 (they are small after quantization), q-heads and the rest
@@ -192,7 +212,8 @@ def _tile_decoder_split(
                 off8 += body_len
         coeffs = jnp.concatenate(parts, axis=-1)
         planes = inverse_tile(coeffs, schedule, wavelet, wrap, channels)
-        return _pix_out(to_interleaved_u8(planes, color, channels), channels)
+        ileaved = to_interleaved_u8(planes, color, channels)
+        return ileaved if out == "ileaved" else _pix_out(ileaved, channels)
 
     return jax.jit(fn), split, stream_order
 
@@ -226,7 +247,7 @@ def split_streams_for_upload(streams_batch: np.ndarray, schedule, channels: int)
     )
 
 
-def _run_tile_decoder(streams_batch: np.ndarray, tw, th, channels, s):
+def _run_tile_decoder(streams_batch: np.ndarray, tw, th, channels, s, out="bands"):
     """Pick the upload-lean split program when the tail fits int8,
     else the plain int16 program; returns the device array (async).
     Bulk uploads ride the chunked-parallel transfer path."""
@@ -236,13 +257,15 @@ def _run_tile_decoder(streams_batch: np.ndarray, tw, th, channels, s):
     if s.wavelet != Wavelet.NONE and len(schedule.levels) >= 2:
         parts = split_streams_for_upload(streams_batch, schedule, channels)
         if parts is not None:
-            fn, _, _ = _tile_decoder_split(tw, th, channels, s.wavelet, s.wrap, s.color)
+            fn, _, _ = _tile_decoder_split(
+                tw, th, channels, s.wavelet, s.wrap, s.color, out
+            )
             return fn(
                 device_put_parallel(parts[0]),
                 device_put_parallel(parts[1]),
                 jnp.asarray(parts[2]),
             )
-    fn = _tile_decoder(tw, th, channels, s.wavelet, s.wrap, s.color)
+    fn = _tile_decoder(tw, th, channels, s.wavelet, s.wrap, s.color, out)
     return fn(device_put_parallel(streams_batch))
 
 
@@ -437,6 +460,13 @@ def dispatch_tiles_device_entropy(view, cursor: int, grid, s: Settings, channels
             per_shape.setdefault((t.w, t.h), []).append((t, payload, sync))
 
     from ako_tpu.ops.kagari_device import decode_span_words
+    from ako_tpu.runtime import transport
+
+    # Transport mode (AKO_TPU_TRANSPORT=1): pixels leave the device as
+    # a lossless q0 re-encode instead of raw bands -- ~1.7x fewer
+    # downlink bytes for ~190 ms/img of overlappable host unpack.
+    use_transport = transport.enabled()
+    out_mode = "ileaved" if use_transport else "bands"
 
     dispatched = []
     for (tw, th), items in per_shape.items():
@@ -452,8 +482,10 @@ def dispatch_tiles_device_entropy(view, cursor: int, grid, s: Settings, channels
             count, DECODE_BLOCK, pool_words, min(span, pool_words), tcount, bcount
         )
         streams_dev = efn(device_put_parallel(buf))
-        dfn = _tile_decoder(tw, th, channels, s.wavelet, s.wrap, s.color)
+        dfn = _tile_decoder(tw, th, channels, s.wavelet, s.wrap, s.color, out_mode)
         pixels_dev = dfn(streams_dev)
+        if use_transport:
+            pixels_dev = transport.pack_pixels(pixels_dev, tw, th, channels)
         dispatched.append(([t for t, _, _ in items], th, tw, pixels_dev))
 
     # quirk tiles: exact host decode, standard device unlift
@@ -468,7 +500,9 @@ def dispatch_tiles_device_entropy(view, cursor: int, grid, s: Settings, channels
         by_shape_host.setdefault((t.w, t.h), []).append((t, res[0]))
     for (tw, th), items in by_shape_host.items():
         batch = np.stack([v for _, v in items], axis=0)
-        pixels_dev = _run_tile_decoder(batch, tw, th, channels, s)
+        pixels_dev = _run_tile_decoder(batch, tw, th, channels, s, out_mode)
+        if use_transport:
+            pixels_dev = transport.pack_pixels(pixels_dev, tw, th, channels)
         dispatched.append(([t for t, _ in items], th, tw, pixels_dev))
     return dispatched
 

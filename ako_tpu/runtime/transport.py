@@ -1,0 +1,137 @@
+"""Lossless transport-compression of the decode-side pixel download.
+
+The tunneled host<->device link compresses uploads in flight but
+downloads not at all (CLAUDE.md), so raw decoded pixels cost ~3.9 MB
+of downlink per 5 MP image. With transport compression the device
+re-encodes decoded tiles losslessly (CDF53, q=0 -- the fused encoder
+programs of `ako_tpu.encode` reused verbatim) and the host fetches
+~1.7x fewer bytes, unpacking them with the native entropy decoder plus
+a CPU-pinned unlift program. Bit-exactness follows from the codec's
+own lossless contract (q=0 round-trips exactly; asserted per decode in
+tests/test_transport.py).
+
+Measured on the 4-core host (devbench/transport_lossless.py and the
+wavelet sweep of 2026-08-18): CDF53 transports a q16-decoded bench
+image at 2.34 MB vs 3.93 MB raw RGB with ~190 ms/img of overlappable
+host unpack (DD137: 2.21 MB but 464 ms; Haar: 2.92 MB, 90 ms).
+
+Opt-in via AKO_TPU_TRANSPORT=1: whether trading host work for downlink
+bytes wins depends on the link's duplexity and current throughput
+(devbench/link_duplex.py); the raw band fetch stays the default.
+
+No reference counterpart: the reference is single-address-space C
+(library/decode.c) and never moves pixels over a link.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import numpy as np
+
+from ako_tpu.core import geometry
+from ako_tpu.core.settings import AkoError, Color, Status, Wavelet, Wrap
+
+#: transport codec settings: CDF53 is the measured sweet spot between
+#: downlink bytes and host unpack cost; q=0/gate=0 make it lossless;
+#: YCoCg stays exactly reversible at q=0 (checked_settings only
+#: switches to the x2 variant when lossy).
+_WAVELET, _WRAP, _COLOR = Wavelet.CDF53, Wrap.CLAMP, Color.YCOCG
+
+
+@functools.lru_cache(maxsize=1)
+def _cpu_device():
+    """The host CPU jax device, or None when the backend is absent
+    (transport then stays disabled -- the unpack must not run on the
+    tunneled chip it is trying to relieve)."""
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return None
+
+
+def enabled() -> bool:
+    """Transport compression is opt-in (AKO_TPU_TRANSPORT=1) and
+    requires a host CPU backend for the unpack."""
+    return os.environ.get("AKO_TPU_TRANSPORT") == "1" and _cpu_device() is not None
+
+
+class TransportOut:
+    """Decoder-output record for one tile-shape group whose pixels
+    travel as a lossless q=0 bitstream instead of raw bands. Understood
+    by decode.pixels_ready / place_pixels / assemble_pixels alongside
+    PixOut. Holds the interleaved u8 device tensor too: the raw-fetch
+    fallback for q0-incompressible (non-photographic) content."""
+
+    __slots__ = ("ileaved", "prep_fut", "tw", "th", "channels")
+
+    def __init__(self, ileaved, prep_fut, tw: int, th: int, channels: int):
+        self.ileaved = ileaved
+        self.prep_fut = prep_fut
+        self.tw = tw
+        self.th = th
+        self.channels = channels
+
+    def ready(self) -> None:
+        """First sync point: the totals fetch completes only after the
+        whole decode+re-encode device chain ran."""
+        self.prep_fut.result()
+
+
+def pack_pixels(ileaved_dev, tw: int, th: int, channels: int) -> TransportOut:
+    """Chain the q=0 fused encoder onto a decoded (T, th, tw, channels)
+    u8 device tensor and start the totals fetch + bucketed byte-fetch
+    prep on a worker (same choreography as the encode dispatch)."""
+    from ako_tpu.encode import _fetch_pool, _prepare_collect, _tile_encoder_fused
+
+    fwd, pack, capacity, budget = _tile_encoder_fused(
+        tw, th, channels, _WAVELET, _WRAP, _COLOR, False, 0, 0, 1, None
+    )
+    comp_bytes, totals_dev = pack(fwd(ileaved_dev))
+    prep_fut = _fetch_pool().submit(
+        _prepare_collect, totals_dev, comp_bytes, capacity, budget
+    )
+    return TransportOut(ileaved_dev, prep_fut, tw, th, channels)
+
+
+def fetch_pixels(out: TransportOut) -> np.ndarray:
+    """Fetch one shape group's transport bitstream and unpack it on the
+    host CPU; returns (T, th, tw, channels) u8. Falls back to the raw
+    band fetch when any tile was q0-incompressible (prep marked it for
+    the encoder's host-coder fallback -- for transport the right
+    fallback is simply the raw pixels we already hold on device)."""
+    from ako_tpu.encode import _fetch_pool
+    from ako_tpu.runtime.transfer import band_split, device_get_parallel, fetch_bands
+
+    totals, fallback, groups, rows = out.prep_fut.result()
+    if fallback:
+        return fetch_bands(band_split(out.ileaved))
+    payloads: list = [None] * int(totals.shape[0])
+    for group, host_bytes in zip(
+        groups, _fetch_pool().map(device_get_parallel, rows)
+    ):
+        for j, i in enumerate(group):
+            payloads[i] = host_bytes[j, : int(totals[i])].tobytes()
+    return _unpack_host(payloads, out.tw, out.th, out.channels)
+
+
+def _unpack_host(payloads, tw: int, th: int, channels: int) -> np.ndarray:
+    """Entropy-decode the per-tile q0 payloads with the native coder
+    (releases the GIL) and unlift them with a CPU-pinned program --
+    committed CPU inputs keep the jitted executable off the tunneled
+    chip this path exists to relieve."""
+    from ako_tpu.decode import _tile_decoder
+    from ako_tpu.runtime.kagari import kagari_decode
+
+    tds = geometry.tile_data_size(tw, th) * channels
+    spacing = geometry.planes_spacing(tw, th)
+    values = []
+    for p in payloads:
+        res = kagari_decode(tds // 2, p, tds + spacing)
+        if res is None:  # impossible for our own coder's output
+            raise AkoError(Status.ERROR, "transport unpack failed")
+        values.append(res[0])
+    fn = _tile_decoder(tw, th, channels, _WAVELET, _WRAP, _COLOR, out="ileaved")
+    return np.asarray(fn(jax.device_put(np.stack(values, axis=0), _cpu_device())))

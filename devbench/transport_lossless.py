@@ -16,6 +16,13 @@ full-duplex (roundtrip_iter overlapping encode-up with decode-down),
 the uplink becomes binding and this gains nothing unless uploads are
 also self-compressed (only ~0.6 MB effective there — the tunnel
 already zstd's uploads ~1.6x). Decide after devbench/link_duplex.py.
+
+IMPLEMENTED (opt-in) as runtime/transport.py: AKO_TPU_TRANSPORT=1
+re-encodes decoded tiles at CDF53/q0 on device and unpacks on a
+CPU-pinned program. A wavelet sweep on the same image picked CDF53
+(2.34 MB, ~190 ms loaded-host unpack) over DD137 (2.21 MB, 464 ms)
+and Haar (2.92 MB, 90 ms). This script remains the cost-model
+measurement for re-deciding the default.
 """
 import os
 import sys
