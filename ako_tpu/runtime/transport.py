@@ -119,19 +119,23 @@ def fetch_pixels(out: TransportOut) -> np.ndarray:
 
 def _unpack_host(payloads, tw: int, th: int, channels: int) -> np.ndarray:
     """Entropy-decode the per-tile q0 payloads with the native coder
-    (releases the GIL) and unlift them with a CPU-pinned program --
-    committed CPU inputs keep the jitted executable off the tunneled
-    chip this path exists to relieve."""
+    (independent tiles; ctypes releases the GIL, so they fan out on
+    the shared worker pool) and unlift them with a CPU-pinned program
+    -- committed CPU inputs keep the jitted executable off the
+    tunneled chip this path exists to relieve."""
     from ako_tpu.decode import _tile_decoder
+    from ako_tpu.encode import _fetch_pool
     from ako_tpu.runtime.kagari import kagari_decode
 
     tds = geometry.tile_data_size(tw, th) * channels
     spacing = geometry.planes_spacing(tw, th)
-    values = []
-    for p in payloads:
+
+    def one(p):
         res = kagari_decode(tds // 2, p, tds + spacing)
         if res is None:  # impossible for our own coder's output
             raise AkoError(Status.ERROR, "transport unpack failed")
-        values.append(res[0])
+        return res[0]
+
+    values = list(_fetch_pool().map(one, payloads))
     fn = _tile_decoder(tw, th, channels, _WAVELET, _WRAP, _COLOR, out="ileaved")
     return np.asarray(fn(jax.device_put(np.stack(values, axis=0), _cpu_device())))
