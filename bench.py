@@ -91,7 +91,8 @@ def bench_ours_roundtrip(images, settings, warm=True):
     overlapped stream (runtime.executor.roundtrip_iter): the encode
     uplink and decode downlink are complementary directions of the
     full-duplex link, so the wall time approaches max(enc, dec) instead
-    of their sum. Select with AKO_BENCH_MODE=roundtrip."""
+    of their sum — iff the link really is full duplex right now, which
+    is why auto-selection races it against the sequential mode."""
     from ako_tpu.runtime.executor import roundtrip_iter
 
     if warm:  # compile + caches; skipped inside the timed-runs loop
@@ -121,6 +122,65 @@ def bench_ref(images, settings, warm=True):
 #: the tunneled host<->device link swings +-40% between runs, so the
 #: reported value is the median of this many timed passes
 RUNS = 5
+
+#: interleaved probe rounds per candidate configuration during
+#: auto-selection (CLAUDE.md: compare configs only via interleaved
+#: repeated medians — the link drifts on minute scales)
+PROBE_ROUNDS = 3
+
+
+def _candidates():
+    """Benchmark configurations to race: (name, pass_fn, transport).
+
+    The winner depends on live link properties no constant can encode:
+    roundtrip mode wins iff the tunnel carries the encode uplink and
+    decode downlink concurrently (full duplex), transport compression
+    wins iff downlink bytes — not host CPU — bound the decode stream
+    (it trades ~2.1 MB/img of downlink for ~190 ms/img of overlappable
+    host unpack). AKO_BENCH_MODE (seq|roundtrip) and AKO_TPU_TRANSPORT
+    (0|1) pin either axis; unset axes are probed."""
+    mode_pin = os.environ.get("AKO_BENCH_MODE", "auto")
+    transport_pin = os.environ.get("AKO_TPU_TRANSPORT")
+    modes = {
+        "seq": [("seq", bench_ours)],
+        "roundtrip": [("roundtrip", bench_ours_roundtrip)],
+    }.get(mode_pin, [("seq", bench_ours), ("roundtrip", bench_ours_roundtrip)])
+    transports = [transport_pin == "1"] if transport_pin in ("0", "1") else [False, True]
+    return [
+        (f"{mname}+{'transport' if tr else 'raw'}", fn, tr)
+        for tr in transports
+        for mname, fn in modes
+    ]
+
+
+def _run_candidate(fn, transport: bool, images, settings):
+    os.environ["AKO_TPU_TRANSPORT"] = "1" if transport else "0"
+    return fn(images, settings, warm=False)
+
+
+def _select_config(cands, images, settings):
+    """Warm every distinct program set once, then race the candidates
+    with PROBE_ROUNDS interleaved passes each; returns the median-best
+    candidate. With a single candidate (both axes pinned) this is just
+    the warmup."""
+    for transport in sorted({tr for _, _, tr in cands}):
+        _run_candidate(bench_ours, transport, images, settings)  # warm
+    if len(cands) == 1:
+        return cands[0]
+    probes = {name: [] for name, _, _ in cands}
+    for _ in range(PROBE_ROUNDS):
+        for name, fn, tr in cands:
+            t, _, _ = _run_candidate(fn, tr, images, settings)
+            probes[name].append(t)
+    med = {name: sorted(ts)[len(ts) // 2] for name, ts in probes.items()}
+    best = min(med, key=med.get)
+    print(
+        "bench: probe medians "
+        + ", ".join(f"{n}={med[n]:.2f}s" for n in med)
+        + f" -> {best}",
+        file=sys.stderr,
+    )
+    return next(c for c in cands if c[0] == best)
 
 
 def _preflight(probe_timeout_s: float = 240.0) -> bool:
@@ -170,16 +230,12 @@ def main() -> int:
     images = synth_images(rng, STREAM_N)
     settings = ako_tpu.Settings(quantization=16, tiles_dimension=TILES)
 
-    ours_fn = (
-        bench_ours_roundtrip
-        if os.environ.get("AKO_BENCH_MODE") == "roundtrip"
-        else bench_ours
-    )
+    config, ours_fn, transport = _select_config(_candidates(), images, settings)
     times_ours = []
     for i in range(RUNS):
-        # warm (compile + caches) only on the first pass; re-warming
-        # every timed run would move ~2x the data the bench measures
-        t, blobs_ours, outs_ours = ours_fn(images, settings, warm=(i == 0))
+        # selection already warmed compiles + caches; every run here is
+        # a clean timed pass
+        t, blobs_ours, outs_ours = _run_candidate(ours_fn, transport, images, settings)
         times_ours.append(t)
     t_ours = sorted(times_ours)[RUNS // 2]
     mps = STREAM_N * MEGAPIXELS / t_ours
@@ -217,6 +273,7 @@ def main() -> int:
                 "value": round(mps, 3),
                 "unit": "MP/s",
                 "vs_baseline": round(vs_baseline, 3),
+                "config": config,
             }
         )
     )
