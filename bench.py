@@ -160,15 +160,24 @@ def _run_candidate(fn, transport: bool, images, settings):
 
 def _select_config(cands, images, settings):
     """Warm every distinct program set once, then race the candidates
-    with PROBE_ROUNDS interleaved passes each; returns the median-best
-    candidate. With a single candidate (both axes pinned) this is just
-    the warmup."""
+    with up to PROBE_ROUNDS interleaved passes each; returns the
+    median-best candidate. With a single candidate (both axes pinned)
+    this is just the warmup.
+
+    Probe depth adapts to the link: on a degraded tunnel a single pass
+    can take minutes, and 3 rounds x 4 candidates would dwarf the timed
+    runs — scale rounds down so the whole probe stays bounded."""
+    warm_t = []
     for transport in sorted({tr for _, _, tr in cands}):
+        t0 = time.perf_counter()
         _run_candidate(bench_ours, transport, images, settings)  # warm
+        warm_t.append(time.perf_counter() - t0)
     if len(cands) == 1:
         return cands[0]
+    pass_t = min(warm_t)  # warm passes include compile; min is closest
+    rounds = PROBE_ROUNDS if pass_t < 15 else (2 if pass_t < 40 else 1)
     probes = {name: [] for name, _, _ in cands}
-    for _ in range(PROBE_ROUNDS):
+    for _ in range(rounds):
         for name, fn, tr in cands:
             t, _, _ = _run_candidate(fn, tr, images, settings)
             probes[name].append(t)
