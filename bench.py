@@ -167,20 +167,22 @@ def _select_config(cands, images, settings):
     Probe depth adapts to the link: on a degraded tunnel a single pass
     can take minutes, and 3 rounds x 4 candidates would dwarf the timed
     runs — scale rounds down so the whole probe stays bounded."""
-    warm_t = []
     for transport in sorted({tr for _, _, tr in cands}):
-        t0 = time.perf_counter()
         _run_candidate(bench_ours, transport, images, settings)  # warm
-        warm_t.append(time.perf_counter() - t0)
     if len(cands) == 1:
         return cands[0]
-    pass_t = min(warm_t)  # warm passes include compile; min is closest
-    rounds = PROBE_ROUNDS if pass_t < 15 else (2 if pass_t < 40 else 1)
+    budget = float(os.environ.get("AKO_BENCH_PROBE_S", "240"))
     probes = {name: [] for name, _, _ in cands}
-    for _ in range(rounds):
+    t_start = time.perf_counter()
+    for r in range(PROBE_ROUNDS):
         for name, fn, tr in cands:
             t, _, _ = _run_candidate(fn, tr, images, settings)
             probes[name].append(t)
+        # warm timings include compile, so the budget is enforced on
+        # the probes themselves: always one full interleaved round,
+        # more only while they fit
+        if time.perf_counter() - t_start > budget:
+            break
     med = {name: sorted(ts)[len(ts) // 2] for name, ts in probes.items()}
     best = min(med, key=med.get)
     print(
