@@ -243,6 +243,13 @@ def dispatch_tiles_fused(image: np.ndarray, s: Settings):
         if a.size and (a == a.flat[0]).all():
             fill_val = int(a.flat[0])
 
+    # Encode-side transport (AKO_TPU_TRANSPORT[_ENC]=1): the pixel
+    # upload crosses the link as per-tile lossless q0 bitstreams and is
+    # reconstructed bit-exactly on device (runtime/transport.py).
+    from ako_tpu.runtime import transport
+
+    use_enc_transport = transport.enc_enabled()
+
     dispatched = []
     for (tw, th), tiles in _group_by_shape(grid).items():
         fwd, pack, capacity, budget = _tile_encoder_fused(
@@ -264,9 +271,14 @@ def dispatch_tiles_fused(image: np.ndarray, s: Settings):
         )
         from ako_tpu.runtime.transfer import device_put_parallel
 
+        tiles_dev = (
+            transport.upload_tiles_packed(batch) if use_enc_transport else None
+        )
+        if tiles_dev is None:  # raw upload (default, or transport fallback)
+            tiles_dev = device_put_parallel(batch)
         # keep the coefficient stream handle: near-capacity tiles fall
         # back to the host coder on it instead of re-running the lift
-        stream_dev = fwd(device_put_parallel(batch))
+        stream_dev = fwd(tiles_dev)
         comp_bytes, totals_dev = pack(stream_dev)
         # start the (tiny but ~40 ms-latency) totals fetch now, on a
         # worker; the same task then immediately enqueues the bucketed

@@ -1,4 +1,15 @@
-"""Lossless transport-compression of the decode-side pixel download.
+"""Lossless transport-compression of the pixel transfers.
+
+Two independent directions, both opt-in and both byte-neutral for
+blobs and pixels:
+
+- decode side (AKO_TPU_TRANSPORT[_DEC]=1): the pixel DOWNLOAD leaves
+  the device as a q0 re-encode, unpacked on the host (below).
+- encode side (AKO_TPU_TRANSPORT[_ENC]=1): the pixel UPLOAD crosses as
+  host-packed q0 bitstreams, reconstructed on device by the parallel
+  entropy decoder + unlift (upload_tiles_packed). In the overlapped
+  round-trip stream the uplink is the heavier direction, so this
+  balances the two.
 
 The tunneled host<->device link compresses uploads in flight but
 downloads not at all (CLAUDE.md), so raw decoded pixels cost ~3.9 MB
@@ -52,10 +63,26 @@ def _cpu_device():
         return None
 
 
+def _dir_enabled(dir_var: str) -> bool:
+    """Per-direction opt-in: AKO_TPU_TRANSPORT=1 enables both
+    directions; AKO_TPU_TRANSPORT_DEC / AKO_TPU_TRANSPORT_ENC=0|1
+    override one direction each."""
+    v = os.environ.get(dir_var)
+    if v in ("0", "1"):
+        return v == "1"
+    return os.environ.get("AKO_TPU_TRANSPORT") == "1"
+
+
 def enabled() -> bool:
-    """Transport compression is opt-in (AKO_TPU_TRANSPORT=1) and
-    requires a host CPU backend for the unpack."""
-    return os.environ.get("AKO_TPU_TRANSPORT") == "1" and _cpu_device() is not None
+    """Decode-side transport (pixel DOWNLOAD packed on device, unpacked
+    on host); requires a host CPU backend for the unpack."""
+    return _dir_enabled("AKO_TPU_TRANSPORT_DEC") and _cpu_device() is not None
+
+
+def enc_enabled() -> bool:
+    """Encode-side transport (pixel UPLOAD packed on host, unpacked on
+    device); requires a host CPU backend for the pack."""
+    return _dir_enabled("AKO_TPU_TRANSPORT_ENC") and _cpu_device() is not None
 
 
 class TransportOut:
@@ -139,3 +166,69 @@ def _unpack_host(payloads, tw: int, th: int, channels: int) -> np.ndarray:
     values = list(_fetch_pool().map(one, payloads))
     fn = _tile_decoder(tw, th, channels, _WAVELET, _WRAP, _COLOR, out="ileaved")
     return np.asarray(fn(jax.device_put(np.stack(values, axis=0), _cpu_device())))
+
+
+def upload_tiles_packed(batch: np.ndarray):
+    """Encode-side mirror of the decode transport: move a (T, th, tw,
+    channels) u8 tile batch over the UPLINK as per-tile lossless q0
+    bitstreams instead of raw pixels, reconstructing the exact tiles on
+    device with the parallel entropy decoder + unlift (the same
+    programs the device-entropy decode path runs,
+    ops/kagari_device.kagari_decode_device). In the overlapped
+    round-trip stream the uplink is the heavier direction (raw pixels
+    up + compressed word pool up vs compressed blob down + transported
+    pixels down), so packing the pixel upload balances the two.
+
+    The pack runs on the host: a CPU-pinned q0 forward program over the
+    batch, then the native Kagari coder + sync scanner per tile (leaf
+    tasks on the shared worker pool; ctypes releases the GIL). Returns
+    a (T, th, tw, channels) u8 DEVICE tensor, or None when any tile
+    must fall back to the raw upload (q0-incompressible content, or an
+    oversized-code stream the device decoder cannot take —
+    runtime/kagari.py:kagari_sync).
+
+    No reference counterpart (single address space); the q0 round-trip
+    exactness this relies on is the codec's own lossless contract,
+    asserted blob-for-blob in tests/test_transport.py."""
+    from ako_tpu.decode import (
+        _bucket_span,
+        _entropy_decode_fn,
+        _pack_entropy_upload,
+        _tile_decoder,
+    )
+    from ako_tpu.encode import _fetch_pool, _tile_encoder
+    from ako_tpu.ops.kagari_device import DECODE_BLOCK, decode_span_words
+    from ako_tpu.runtime.kagari import kagari_encode, kagari_sync
+    from ako_tpu.runtime.transfer import device_put_parallel
+
+    T, th, tw, channels = batch.shape
+    tds = geometry.tile_data_size(tw, th) * channels
+    spacing = geometry.planes_spacing(tw, th)
+
+    fwd = _tile_encoder(tw, th, channels, _WAVELET, _WRAP, _COLOR, False, 0, 0, 1)
+    streams = np.asarray(fwd(jax.device_put(batch, _cpu_device())))
+
+    def pack_one(v):
+        p = kagari_encode(v, tds)
+        if p is None:  # q0-incompressible (non-photographic content)
+            return None
+        sy = kagari_sync(tds // 2, p, tds + spacing, DECODE_BLOCK)
+        if sy is None or sy[5] > 31:  # zigzag(-32768) misalignment quirk
+            return None
+        return p, sy
+
+    packed = list(_fetch_pool().map(pack_one, streams))
+    if any(p is None for p in packed):
+        return None
+
+    items = [(None, p, sy) for p, sy in packed]
+    buf, pool_words, tcount, bcount = _pack_entropy_upload(items)
+    span = _bucket_span(
+        max(decode_span_words(sy[0], len(p) * 8) for p, sy in packed)
+    )
+    efn = _entropy_decode_fn(
+        tds // 2, DECODE_BLOCK, pool_words, min(span, pool_words), tcount, bcount
+    )
+    streams_dev = efn(device_put_parallel(buf))
+    dfn = _tile_decoder(tw, th, channels, _WAVELET, _WRAP, _COLOR, out="ileaved")
+    return dfn(streams_dev)

@@ -107,3 +107,95 @@ class TestTransportDecode:
 
     def test_disabled_without_env(self, rng):
         assert not transport.enabled()
+
+
+class TestTransportEncode:
+    """Encode-side transport (pixel UPLOAD as q0 bitstreams,
+    reconstructed on device): blobs must equal the raw-path blobs
+    byte-for-byte for every content/settings class."""
+
+    def _blob_pair(self, img, s, monkeypatch):
+        ref = ako_tpu.encode(img, s, device_entropy=True)
+        monkeypatch.setenv("AKO_TPU_TRANSPORT_ENC", "1")
+        assert transport.enc_enabled()
+        got = ako_tpu.encode(img, s, device_entropy=True)
+        assert got == ref
+        return ref
+
+    @pytest.mark.parametrize("ch", [1, 2, 3, 4])
+    def test_blob_identical_per_channel_count(self, rng, ch, monkeypatch):
+        img = _photo(rng, 96, 80, ch)
+        self._blob_pair(img, Settings(quantization=16, tiles_dimension=64), monkeypatch)
+
+    @pytest.mark.parametrize("q", [0, 16])
+    def test_quantization_modes(self, rng, q, monkeypatch):
+        img = _photo(rng, 64, 64, 3)
+        self._blob_pair(img, Settings(quantization=q), monkeypatch)
+
+    def test_outer_wavelet_independent(self, rng, monkeypatch):
+        img = _photo(rng, 64, 64, 4)
+        self._blob_pair(
+            img, Settings(quantization=16, wavelet=Wavelet.HAAR), monkeypatch
+        )
+
+    def test_border_tiles(self, rng, monkeypatch):
+        img = _photo(rng, 80, 96, 4)
+        self._blob_pair(img, Settings(quantization=16, tiles_dimension=32), monkeypatch)
+
+    def test_noise_blob_identical(self, rng, monkeypatch):
+        # pure noise at q0 still fits the host pack's tds cap (measured
+        # ~20/24.6 kB for a 64px tile), so transport stays active;
+        # blob equality is the contract either way
+        img = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+        self._blob_pair(img, Settings(quantization=16), monkeypatch)
+
+    def test_incompressible_raw_fallback(self, rng, monkeypatch):
+        # a q0-incompressible tile (kagari_encode -> None) must signal
+        # the raw upload; u8 pixels can barely reach the tds cap, so
+        # simulate the coder failure at its source module
+        from ako_tpu.runtime import kagari as kagari_mod
+
+        monkeypatch.setattr(kagari_mod, "kagari_encode", lambda v, cap: None)
+        img = _photo(rng, 64, 64, 3)
+        assert transport.upload_tiles_packed(img[None]) is None
+
+    def test_oversized_code_raw_fallback(self, rng, monkeypatch):
+        # streams the device decoder cannot take (max code bits > 31,
+        # the zigzag(-32768) quirk) must also signal the raw upload
+        from ako_tpu.runtime import kagari as kagari_mod
+
+        real_sync = kagari_mod.kagari_sync
+
+        def fake_sync(count, blob, cap, block):
+            res = real_sync(count, blob, cap, block)
+            return None if res is None else res[:5] + (40,)
+
+        monkeypatch.setattr(kagari_mod, "kagari_sync", fake_sync)
+        img = _photo(rng, 64, 64, 3)
+        assert transport.upload_tiles_packed(img[None]) is None
+
+    def test_constant_alpha_elision_composes(self, rng, monkeypatch):
+        # constant alpha: transport packs channels-1 planes and the
+        # device broadcasts the constant (fill_last) after reconstruction
+        img = _photo(rng, 96, 96, 4)
+        img[..., 3] = 255
+        self._blob_pair(img, Settings(quantization=16, tiles_dimension=64), monkeypatch)
+
+    def test_direction_overrides(self, monkeypatch):
+        monkeypatch.setenv("AKO_TPU_TRANSPORT", "1")
+        assert transport.enabled() and transport.enc_enabled()
+        monkeypatch.setenv("AKO_TPU_TRANSPORT_ENC", "0")
+        assert transport.enabled() and not transport.enc_enabled()
+        monkeypatch.setenv("AKO_TPU_TRANSPORT_DEC", "0")
+        assert not transport.enabled()
+
+    def test_roundtrip_both_directions(self, rng, monkeypatch):
+        img = _photo(rng, 96, 96, 4)
+        s = Settings(quantization=16, tiles_dimension=64)
+        blob_ref = ako_tpu.encode(img, s, device_entropy=True)
+        pix_ref = ako_tpu.decode(blob_ref, device_entropy=True)[0]
+        monkeypatch.setenv("AKO_TPU_TRANSPORT", "1")
+        blob = ako_tpu.encode(img, s, device_entropy=True)
+        assert blob == blob_ref
+        pix = ako_tpu.decode(blob, device_entropy=True)[0]
+        assert np.array_equal(pix, pix_ref)
