@@ -24,7 +24,12 @@ tests/test_transport.py).
 Measured on the 4-core host (devbench/transport_lossless.py and the
 wavelet sweep of 2026-08-18): CDF53 transports a q16-decoded bench
 image at 2.34 MB vs 3.93 MB raw RGB with ~190 ms/img of overlappable
-host unpack (DD137: 2.21 MB but 464 ms; Haar: 2.92 MB, 90 ms).
+host unpack (DD137: 2.21 MB but 464 ms; Haar: 2.92 MB, 90 ms). The
+encode-side pack of the raw bench image costs ~100-130 ms of CPU-XLA
+forward (all cores) + ~35-80 ms of native pack+sync (pool-parallel)
+for 2.13 MB vs 3.93 raw — so with both directions on, the host floor
+is roughly 165 ms/img and transport only wins when the link runs
+slower than ~that per image's remaining bytes.
 
 Opt-in via AKO_TPU_TRANSPORT=1: whether trading host work for downlink
 bytes wins depends on the link's duplexity and current throughput
