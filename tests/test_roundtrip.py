@@ -67,15 +67,19 @@ class TestWavelets:
         compresses akoTileDataSize bytes out of a buffer holding only
         w*h*ch*2 (compression.c:40 ignores the NONE-mode size override
         of encode.c:126-129), so its blob embeds uninitialized heap
-        bytes and its own decoder rejects the stream (count mismatch in
-        akoDecompress). We compress exactly the planar payload: the
-        blob is deterministic and decodes."""
+        bytes — the output is nondeterministic, and usually (but not
+        always: it depends on what malloc handed back) its own decoder
+        rejects the stream. Nothing about the reference's behavior here
+        is assertable beyond 'encode may succeed'. We compress exactly
+        the planar payload: the blob is deterministic and decodes."""
         img = _img(rng, 24, 24, 3)
         s = Settings(wavelet=Wavelet.NONE, quantization=0)
-        # reference: encodes (garbage) but cannot decode its own output
+        # reference: encodes heap garbage; exercise its decoder only to
+        # confirm it doesn't crash the oracle process (either outcome
+        # of the count-mismatch check is possible on garbage)
         ref_blob = oracle.ref_encode(img, checked_settings(s))
         if ref_blob is not None:
-            assert oracle.ref_decode(ref_blob) is None
+            oracle.ref_decode(ref_blob)
         # ours: clean round-trip
         blob = ako_tpu.encode(img, s)
         out, _, _ = ako_tpu.decode(blob)
