@@ -289,7 +289,7 @@ def dispatch_tiles_fused(image: np.ndarray, s: Settings):
         prep_fut = _fetch_pool().submit(
             _prepare_collect, totals_dev, comp_bytes, capacity, budget
         )
-        dispatched.append((tiles, stream_dev, prep_fut, capacity, budget))
+        dispatched.append((tiles, stream_dev, comp_bytes, prep_fut, capacity, budget))
     return grid, channels, dispatched
 
 
@@ -323,15 +323,31 @@ def _prepare_collect(totals_dev, comp_bytes, capacity: int, budget: int):
     return totals, fallback, groups, rows
 
 
-def collect_tiles_blocks(s: Settings, channels: int, grid, dispatched):
+def collect_tiles_blocks(s: Settings, channels: int, grid, dispatched, residue=None):
     """Phase 2: fetch compressed bytes (one bulk transfer per shape
     group) and frame the per-tile blocks; near-capacity tiles fall back
     to the host coder so the reference's exact bounds checks decide.
     The fallback reuses the already-computed device coefficient stream
-    (one extra fetch, zero recompute)."""
+    (one extra fetch, zero recompute).
+
+    With `residue` (a list), appends one record per shape group holding
+    the DEVICE-resident compressed-byte rows the blob was framed from:
+    a paired decode of this very blob can then reuse them as its word
+    pool instead of re-uploading ~2 MB/image of compressed words
+    (decode.dispatch_tiles_device_entropy `residue=`; only valid for
+    the blob this call returned — runtime/executor.roundtrip_iter)."""
     out: list[Optional[bytes]] = [None] * len(grid)
-    for tiles, stream_dev, prep_fut, capacity, budget in dispatched:
+    for tiles, stream_dev, comp_bytes, prep_fut, capacity, budget in dispatched:
         totals, fallback, groups, rows = prep_fut.result()
+        if residue is not None:
+            residue.append(
+                {
+                    "tiles": tiles,
+                    "comp": comp_bytes,
+                    "totals": totals,
+                    "fallback": set(fallback),
+                }
+            )
         if groups:
             from ako_tpu.runtime.transfer import device_get_parallel
 
@@ -383,7 +399,7 @@ def encode_tiles_blocks(
     _fire(events, 0, total, Event.FORMAT_END, events_user)
     _fire(events, 0, total, Event.WAVELET_START, events_user)
     for rec in dispatched:
-        rec[2].result()  # totals fetch = wait for device compute
+        rec[3].result()  # totals fetch = wait for device compute
     _fire(events, 0, total, Event.WAVELET_END, events_user)
     _fire(events, 0, total, Event.COMPRESSION_START, events_user)
     out = collect_tiles_blocks(s, channels, grid, dispatched)

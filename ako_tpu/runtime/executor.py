@@ -76,14 +76,35 @@ class PipelineEncoder:
     ...     sink(blob)
     """
 
-    def __init__(self, settings: Optional[Settings] = None, workers: int = 4):
+    def __init__(
+        self,
+        settings: Optional[Settings] = None,
+        workers: int = 4,
+        device_entropy: Optional[bool] = None,
+    ):
         self.settings = checked_settings(settings)
         self.workers = max(1, workers)
+        self.device_entropy = device_entropy
 
-    def encode_iter(self, images: Iterable[np.ndarray]) -> Iterator[bytes]:
+    def _device_entropy(self) -> bool:
+        if self.device_entropy is not None:
+            return self.device_entropy
+        return jax.default_backend() != "cpu"
+
+    def encode_iter(
+        self, images: Iterable[np.ndarray], keep_residue: bool = False
+    ) -> Iterator[bytes]:
+        """With `keep_residue`, yields (blob, residue) pairs instead:
+        residue is the device-resident compressed-row record a PAIRED
+        decode of that same blob can reuse as its word pool
+        (decode.dispatch_tiles_device_entropy), or None off the fused
+        path. Used by roundtrip_iter."""
         s = self.settings
-        if s.compression == Compression.KAGARI and jax.default_backend() != "cpu":
-            yield from self._encode_iter_device_entropy(images)
+        if s.compression == Compression.KAGARI and self._device_entropy():
+            yield from self._encode_iter_device_entropy(images, keep_residue)
+            return
+        if keep_residue:
+            yield from ((b, None) for b in self.encode_iter(images))
             return
         with cf.ThreadPoolExecutor(max_workers=self.workers) as pool:
             pending: Optional[Tuple[list, list, int, bytes]] = None
@@ -105,7 +126,7 @@ class PipelineEncoder:
                 yield _entropy_encode_image(*pending, pool)
 
     def _encode_iter_device_entropy(
-        self, images: Iterable[np.ndarray]
+        self, images: Iterable[np.ndarray], keep_residue: bool = False
     ) -> Iterator[bytes]:
         """Fused device path: image i's compressed-byte fetch runs on
         an IO thread while the main thread uploads and dispatches image
@@ -114,9 +135,11 @@ class PipelineEncoder:
 
         def collect(args):
             p_head, p_s, p_ch, p_grid, p_disp = args
-            return p_head + b"".join(
-                collect_tiles_blocks(p_s, p_ch, p_grid, p_disp)
+            residue: Optional[list] = [] if keep_residue else None
+            blob = p_head + b"".join(
+                collect_tiles_blocks(p_s, p_ch, p_grid, p_disp, residue)
             )
+            return (blob, residue) if keep_residue else blob
 
         with cf.ThreadPoolExecutor(max_workers=1) as io:
             fut = None
@@ -202,10 +225,12 @@ class PipelineDecoder:
             place_pixels(image, tiles, th, tw, pixels_dev)
         return image
 
-    def _dispatch_blob(self, blob: bytes, pool, device_entropy: bool):
+    def _dispatch_blob(self, blob: bytes, pool, device_entropy: bool, residue=None):
         """One blob -> dispatch records + image shape, via the fused
         device-entropy decoder (sync scan only on host) when available,
-        else the host entropy stage."""
+        else the host entropy stage. `residue` is the paired encoder's
+        device-resident compressed rows for THIS blob (roundtrip_iter):
+        the decoder then uploads only sync tables, not the word pool."""
         from ako_tpu.decode import (
             _check_decode_budget,
             dispatch_tiles_device_entropy,
@@ -217,19 +242,25 @@ class PipelineDecoder:
         if device_entropy and s.compression == Compression.KAGARI:
             grid = geometry.tile_grid(w, h, s.tiles_dimension)
             disp = dispatch_tiles_device_entropy(
-                view, container.HEAD_SIZE, grid, s, channels, pool
+                view, container.HEAD_SIZE, grid, s, channels, pool, residue
             )
             return disp, (h, w, channels)
         streams, grid, channels, s, (h, w) = self._entropy_stage(blob, pool)
         return self._dispatch_device(streams, grid, channels, s), (h, w, channels)
 
-    def decode_iter(self, blobs: Iterable[bytes]) -> Iterator[np.ndarray]:
-        device_entropy = jax.default_backend() != "cpu"
+    def decode_iter(
+        self, blobs: Iterable, paired: bool = False, device_entropy: Optional[bool] = None
+    ) -> Iterator[np.ndarray]:
+        """With `paired`, items are (blob, residue) pairs from
+        PipelineEncoder.encode_iter(keep_residue=True)."""
+        if device_entropy is None:
+            device_entropy = jax.default_backend() != "cpu"
         with cf.ThreadPoolExecutor(max_workers=self.workers) as pool, \
                 cf.ThreadPoolExecutor(max_workers=1) as io:
             fut = None
-            for blob in blobs:
-                disp, shape = self._dispatch_blob(blob, pool, device_entropy)
+            for item in blobs:
+                blob, residue = item if paired else (item, None)
+                disp, shape = self._dispatch_blob(blob, pool, device_entropy, residue)
                 if fut is not None:
                     yield fut.result()
                 # pixel drain of this image rides the IO thread while
@@ -247,6 +278,7 @@ def roundtrip_iter(
     settings: Optional[Settings] = None,
     workers: int = 4,
     depth: int = 3,
+    device_entropy: Optional[bool] = None,
 ) -> Iterator[Tuple[bytes, np.ndarray]]:
     """Full encode->decode round-trip as ONE overlapped stream,
     yielding (blob, decoded_pixels) per image in order.
@@ -259,8 +291,14 @@ def roundtrip_iter(
     keeps the decoder fed across the encoder's per-image latency jitter
     without unbounded memory growth.
     """
-    enc = PipelineEncoder(settings, workers=workers)
+    import os
+
+    enc = PipelineEncoder(settings, workers=workers, device_entropy=device_entropy)
     dec = PipelineDecoder(workers=workers)
+    # Paired residue reuse (default on, AKO_TPU_RESIDENT=0 to A/B):
+    # the decode of blob i reads its word pool from the encoder's
+    # still-device-resident compressed rows — ~2 MB/image less uplink.
+    keep_residue = os.environ.get("AKO_TPU_RESIDENT", "1") != "0"
     q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
     stop = threading.Event()
 
@@ -274,8 +312,8 @@ def roundtrip_iter(
 
     def produce():
         try:
-            for blob in enc.encode_iter(feed()):
-                q.put(blob)
+            for item in enc.encode_iter(feed(), keep_residue=keep_residue):
+                q.put(item if keep_residue else (item, None))
                 if stop.is_set():
                     return
             q.put(_STREAM_DONE)
@@ -290,18 +328,20 @@ def roundtrip_iter(
     # not accumulate every blob
     blobs: "deque[bytes]" = deque()
 
-    def blob_stream() -> Iterator[bytes]:
+    def blob_stream() -> Iterator[tuple]:
         while True:
             item = q.get()
             if item is _STREAM_DONE:
                 return
             if isinstance(item, BaseException):
                 raise item
-            blobs.append(item)
+            blobs.append(item[0])
             yield item
 
     try:
-        for pixels in dec.decode_iter(blob_stream()):
+        for pixels in dec.decode_iter(
+            blob_stream(), paired=True, device_entropy=device_entropy
+        ):
             yield blobs.popleft(), pixels
     finally:
         # if the consumer bailed early the producer may be blocked on a

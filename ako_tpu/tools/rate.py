@@ -193,7 +193,9 @@ class _CachedEncoder:
                 prep = _fetch_pool().submit(
                     _prepare_collect, totals_dev, comp_bytes, capacity, budget
                 )
-                dispatched.append((tiles, streams_dev, prep, capacity, budget))
+                dispatched.append(
+                    (tiles, streams_dev, comp_bytes, prep, capacity, budget)
+                )
                 continue
             streams = np.asarray(streams_dev)
             for i, t in enumerate(tiles):

@@ -20,7 +20,7 @@ for r in range(3):
     grid, channels, disp = dispatch_tiles_fused(img, s)
     t1 = time.perf_counter()
     for rec in disp:
-        rec[2].result()  # totals future: upload + compute + totals RPC
+        rec[3].result()  # totals future: upload + compute + totals RPC
     t2 = time.perf_counter()
     out = collect_tiles_blocks(s, channels, grid, disp)
     t3 = time.perf_counter()
