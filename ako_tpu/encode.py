@@ -11,6 +11,7 @@ identical to the reference encoder's for every settings combination.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -312,8 +313,13 @@ def _prepare_collect(totals_dev, comp_bytes, capacity: int, budget: int):
     ok = [i for i in range(totals.shape[0]) if i not in set(fallback)]
     groups, rows = [], []
     if ok:
+        # group count follows the link's concurrency preference (read
+        # per call so bench.py can re-tune after probing the live
+        # tunnel): more groups = tighter size tracking but more
+        # concurrent RPCs, which some tunnel moods punish
+        groups_n = max(1, int(os.environ.get("AKO_FETCH_GROUPS", "4")))
         order = sorted(ok, key=lambda i: int(totals[i]))
-        for group in np.array_split(np.asarray(order), min(4, len(order))):
+        for group in np.array_split(np.asarray(order), min(groups_n, len(order))):
             if not len(group):
                 continue
             m = int(totals[group[-1]])

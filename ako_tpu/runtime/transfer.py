@@ -25,8 +25,23 @@ import numpy as np
 
 #: transfers below this size aren't worth the thread fan-out
 _MIN_PARALLEL_BYTES = 1 << 20
-_UP_CHUNKS = int(os.environ.get("AKO_XFER_UP_CHUNKS", "1"))
-_DOWN_CHUNKS = int(os.environ.get("AKO_XFER_DOWN_CHUNKS", "8"))
+
+
+def _up_chunks() -> int:
+    """Read per call, not at import: the tunnel's concurrency
+    preference flips between sessions, so bench.py (or a user) can
+    re-tune the env vars at runtime after probing the live link."""
+    return int(os.environ.get("AKO_XFER_UP_CHUNKS", "1"))
+
+
+def _down_chunks() -> int:
+    return int(os.environ.get("AKO_XFER_DOWN_CHUNKS", "8"))
+
+
+#: import-time snapshot for band_split only: the band count is baked
+#: into compiled programs (a tuple of outputs), so it cannot follow
+#: runtime re-tuning without recompiles
+_DOWN_CHUNKS = _down_chunks()
 
 _pool: Optional[cf.ThreadPoolExecutor] = None
 _io_pool: Optional[cf.ThreadPoolExecutor] = None
@@ -45,7 +60,7 @@ def _get_pool() -> cf.ThreadPoolExecutor:
         with _pool_lock:
             if _pool is None:
                 _pool = cf.ThreadPoolExecutor(
-                    max_workers=max(_UP_CHUNKS, _DOWN_CHUNKS, 8),
+                    max_workers=max(_up_chunks(), _down_chunks(), 16),
                     thread_name_prefix="ako-xfer",
                 )
     return _pool
@@ -66,9 +81,11 @@ def io_pool() -> cf.ThreadPoolExecutor:
     return _io_pool
 
 
-def device_put_parallel(arr: np.ndarray, chunks: int = _UP_CHUNKS):
+def device_put_parallel(arr: np.ndarray, chunks: Optional[int] = None):
     """Upload a host array, chunked along axis 0 across threads;
     returns a single device array."""
+    if chunks is None:
+        chunks = _up_chunks()
     arr = np.ascontiguousarray(arr)
     if chunks <= 1 or arr.nbytes < _MIN_PARALLEL_BYTES or arr.shape[0] < chunks:
         return jnp.asarray(arr)
@@ -77,8 +94,10 @@ def device_put_parallel(arr: np.ndarray, chunks: int = _UP_CHUNKS):
     return jnp.concatenate([f.result() for f in futs], axis=0)
 
 
-def device_get_parallel(dev, chunks: int = _DOWN_CHUNKS) -> np.ndarray:
+def device_get_parallel(dev, chunks: Optional[int] = None) -> np.ndarray:
     """Fetch a device array, chunked along axis 0 across threads."""
+    if chunks is None:
+        chunks = _down_chunks()
     shape = dev.shape
     nbytes = dev.dtype.itemsize * int(np.prod(shape))
     if nbytes < _MIN_PARALLEL_BYTES or (shape and shape[0] < chunks):
