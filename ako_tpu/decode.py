@@ -510,17 +510,25 @@ def _resident_rows(items, res_group):
     per-item row index (None = upload: the encoder's host-coder
     fallback), or None for the whole group when the blob does not match
     the residue (defensive: wrong pairing disables reuse, never
-    corrupts)."""
+    corrupts). Matching is by payload length AND the CRC the encoder
+    recorded while framing the blob (encode.collect_tiles_blocks), so
+    coinciding sizes cannot slip a mispaired residue through."""
+    import zlib
+
     rowmap = {
         t.index: j
         for j, t in enumerate(res_group["tiles"])
         if j not in res_group["fallback"]
     }
+    crcs = res_group.get("crc")
     out = []
     for t, p, _sy in items:
         j = rowmap.get(t.index)
-        if j is not None and int(res_group["totals"][j]) != len(p):
-            return None
+        if j is not None:
+            if int(res_group["totals"][j]) != len(p):
+                return None
+            if crcs is None or crcs[j] != zlib.crc32(p):
+                return None
         out.append(j)
     return out
 
@@ -610,8 +618,20 @@ def dispatch_tiles_device_entropy(view, cursor: int, grid, s: Settings, channels
             buf, up_words, tcount, bcount = _pack_entropy_upload_resident(
                 items, res_rows, (row_bytes + 3) // 4, rows
             )
+            # clamp to the combined pool (resident rows + uploaded
+            # tail), mirroring the non-resident branch — the decoder's
+            # inner min(span, wcap) would also catch this, but the
+            # call-site clamp keeps that inner clamp non-load-bearing
+            pool_total = rows * ((row_bytes + 3) // 4) + up_words
             efn = _entropy_decode_fn_resident(
-                count, DECODE_BLOCK, rows, row_bytes, up_words, span, tcount, bcount
+                count,
+                DECODE_BLOCK,
+                rows,
+                row_bytes,
+                up_words,
+                min(span, pool_total),
+                tcount,
+                bcount,
             )
             streams_dev = efn(device_put_parallel(buf), comp)
         else:

@@ -342,18 +342,26 @@ def collect_tiles_blocks(s: Settings, channels: int, grid, dispatched, residue=N
     pool instead of re-uploading ~2 MB/image of compressed words
     (decode.dispatch_tiles_device_entropy `residue=`; only valid for
     the blob this call returned — runtime/executor.roundtrip_iter)."""
+    import zlib
+
     out: list[Optional[bytes]] = [None] * len(grid)
     for tiles, stream_dev, comp_bytes, prep_fut, capacity, budget in dispatched:
         totals, fallback, groups, rows = prep_fut.result()
+        rec = None
         if residue is not None:
-            residue.append(
-                {
-                    "tiles": tiles,
-                    "comp": comp_bytes,
-                    "totals": totals,
-                    "fallback": set(fallback),
-                }
-            )
+            rec = {
+                "tiles": tiles,
+                "comp": comp_bytes,
+                "totals": totals,
+                "fallback": set(fallback),
+                # per-tile payload CRCs, filled during the byte fetch
+                # below: a paired decode verifies its payload bytes
+                # against these before reusing the device rows, so a
+                # mispaired residue with coinciding sizes can never
+                # silently decode wrong pixels (decode._resident_rows)
+                "crc": [None] * len(tiles),
+            }
+            residue.append(rec)
         if groups:
             from ako_tpu.runtime.transfer import device_get_parallel
 
@@ -362,9 +370,10 @@ def collect_tiles_blocks(s: Settings, channels: int, grid, dispatched, residue=N
             ):
                 for j, i in enumerate(group):
                     n = int(totals[i])
-                    out[tiles[i].index] = (
-                        BLOCK_HEAD.pack(n) + host_bytes[j, :n].tobytes()
-                    )
+                    payload = host_bytes[j, :n].tobytes()
+                    if rec is not None:
+                        rec["crc"][i] = zlib.crc32(payload)
+                    out[tiles[i].index] = BLOCK_HEAD.pack(n) + payload
         if fallback:
             from ako_tpu.runtime.transfer import device_get_parallel
 

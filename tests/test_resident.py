@@ -91,8 +91,12 @@ class TestResidentRoundtrip:
         assert np.array_equal(pix, ako_tpu.decode(blob, device_entropy=True)[0])
 
     def test_mismatched_residue_falls_back(self, rng, monkeypatch):
-        # decode blob B with blob A's residue: sizes differ, so the
-        # defensive check must disable reuse and still decode exactly
+        # decode blob B with blob A's residue: the payload-CRC check
+        # (decode._resident_rows) must disable reuse — even if the two
+        # blobs' per-tile sizes happened to coincide — and still decode
+        # exactly. Asserting the resident branch was never entered
+        # pins the fallback directly, not just its end result.
+        calls = _count_resident(monkeypatch)
         s = Settings(quantization=16, tiles_dimension=64)
         img_a, img_b = _photo(rng, 64, 64), _photo(rng, 64, 64)
         enc = PipelineEncoder(s, device_entropy=True)
@@ -104,7 +108,28 @@ class TestResidentRoundtrip:
         (pix,) = list(
             dec.decode_iter(iter([(blob_b, res_a)]), paired=True, device_entropy=True)
         )
+        assert calls[0] == 0, "mispaired residue must not be reused"
         assert np.array_equal(pix, ako_tpu.decode(blob_b, device_entropy=True)[0])
+
+    def test_mismatched_residue_same_sizes_falls_back(self, rng, monkeypatch):
+        # coinciding per-tile payload sizes, different bytes: only the
+        # CRC check can catch this pairing. Construct it by encoding
+        # the SAME image twice (identical sizes and bytes), then
+        # corrupting the copy's recorded CRCs to simulate a stale
+        # residue whose sizes still line up.
+        calls = _count_resident(monkeypatch)
+        s = Settings(quantization=16, tiles_dimension=64)
+        img = _photo(rng, 64, 64)
+        enc = PipelineEncoder(s, device_entropy=True)
+        ((blob, res),) = list(enc.encode_iter([img], keep_residue=True))
+        assert res and res[0]["crc"] and any(c is not None for c in res[0]["crc"])
+        res[0]["crc"] = [None if c is None else c ^ 1 for c in res[0]["crc"]]
+        dec = PipelineDecoder()
+        (pix,) = list(
+            dec.decode_iter(iter([(blob, res)]), paired=True, device_entropy=True)
+        )
+        assert calls[0] == 0, "size-coinciding mispair must not be reused"
+        assert np.array_equal(pix, ako_tpu.decode(blob, device_entropy=True)[0])
 
     def test_resident_disabled_env(self, rng, monkeypatch):
         monkeypatch.setenv("AKO_TPU_RESIDENT", "0")
