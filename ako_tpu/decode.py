@@ -318,6 +318,81 @@ def read_tile_stream(view, cursor: int, t, s: Settings, channels: int):
     return values, cursor + tds
 
 
+def host_decode_mode() -> bool:
+    """AKO_TPU_DECODE=host routes decode's compute (entropy + unlift +
+    format) through the native host path (runtime/hostcodec.py) with
+    ZERO device-link traffic. Through the tunneled TPU link the decode
+    direction is link-bound — the blob the host already holds fully
+    determines the pixels, while fetching them from the device costs
+    ~3.9 MB/image of downlink — so bench.py races this mode against the
+    device paths. Default stays the device path (the natural mode on
+    locally-attached TPUs)."""
+    import os
+
+    return os.environ.get("AKO_TPU_DECODE") == "host"
+
+
+def decode_tiles_host(view, cursor: int, grid, s: Settings, channels: int,
+                      pool=None):
+    """Decode every tile natively on the host CPU: the sequential block
+    walk (sizes live in each head), then per-tile entropy decode +
+    unlift + inverse color fanned out on the worker pool (independent
+    tiles; ctypes releases the GIL). Returns [(tile, pixels u8)] in
+    tile order. Bit-exact with the device path (tests/test_hostcodec.py
+    asserts both against the reference oracle)."""
+    from ako_tpu.runtime.hostcodec import tile_decode_pixels
+
+    blocks = []
+    for t in grid:
+        values_or_view, cursor = _read_tile_block(view, cursor, t, s, channels)
+        blocks.append((t, values_or_view))
+
+    def one(args):
+        t, payload = args
+        values = _entropy_one(payload, t, s, channels)
+        return t, tile_decode_pixels(
+            values, t.w, t.h, channels, s.wavelet, s.wrap, s.color
+        )
+
+    if pool is None:
+        return [one(b) for b in blocks]
+    return list(pool.map(one, blocks))
+
+
+def _read_tile_block(view, cursor: int, t, s: Settings, channels: int):
+    """Slice one tile's block payload out of the container without
+    decoding it (the boundary walk is inherently sequential; the decode
+    itself is not). Returns (payload view | raw values, new_cursor)."""
+    from ako_tpu.runtime.kagari import BLOCK_HEAD
+
+    tds, _spacing = tile_block_sizes(t, s, channels)
+    if s.compression != Compression.NONE:
+        if cursor + BLOCK_HEAD.size > len(view):
+            raise AkoError(Status.BROKEN_INPUT)
+        (bs,) = BLOCK_HEAD.unpack_from(view, cursor)
+        payload = view[cursor + BLOCK_HEAD.size : cursor + BLOCK_HEAD.size + bs]
+        if len(payload) < bs:
+            raise AkoError(Status.BROKEN_INPUT)
+        return payload, cursor + BLOCK_HEAD.size + bs
+    if cursor + tds > len(view):
+        raise AkoError(Status.BROKEN_INPUT)
+    return view[cursor : cursor + tds], cursor + tds
+
+
+def _entropy_one(payload, t, s: Settings, channels: int) -> np.ndarray:
+    """Entropy-decode one tile's sliced payload (or reinterpret the raw
+    block when compression is NONE)."""
+    from ako_tpu.runtime.kagari import kagari_decode
+
+    tds, spacing = tile_block_sizes(t, s, channels)
+    if s.compression == Compression.NONE:
+        return np.frombuffer(payload, dtype=np.int16).copy()
+    res = kagari_decode(tds // 2, payload, tds + spacing)
+    if res is None or res[1] != len(payload):
+        raise AkoError(Status.BROKEN_INPUT)
+    return res[0]
+
+
 def _bucket_span(m: int) -> int:
     """Power-of-two bucketed decode window span: keeps the number of
     compiled entropy-decode programs logarithmic in content variety."""
@@ -680,6 +755,32 @@ def decode(
     channels, image_w, image_h, s = container.head_read(view)
     _check_decode_budget(image_w, image_h, channels)
     cursor = container.HEAD_SIZE
+
+    if host_decode_mode():
+        grid = geometry.tile_grid(image_w, image_h, s.tiles_dimension)
+        total = len(grid)
+        image = np.empty((image_h, image_w, channels), dtype=np.uint8)
+        from ako_tpu.runtime.hostcodec import planes_to_u8, tile_unlift
+
+        # per-tile native decode keeps the reference's per-tile event
+        # granularity (ako.h:75-84): COMPRESSION around the entropy
+        # decode, WAVELET around the unlift, FORMAT around the color
+        # conversion + placement
+        cursor2 = cursor
+        for t in grid:
+            payload, cursor2 = _read_tile_block(view, cursor2, t, s, channels)
+            _fire(events, t.index, total, Event.COMPRESSION_START, events_user)
+            values = _entropy_one(payload, t, s, channels)
+            _fire(events, t.index, total, Event.COMPRESSION_END, events_user)
+            _fire(events, t.index, total, Event.WAVELET_START, events_user)
+            planes = tile_unlift(values, t.w, t.h, channels, s.wavelet, s.wrap)
+            _fire(events, t.index, total, Event.WAVELET_END, events_user)
+            _fire(events, t.index, total, Event.FORMAT_START, events_user)
+            image[t.y : t.y + t.h, t.x : t.x + t.w] = planes_to_u8(
+                planes, s.color
+            )
+            _fire(events, t.index, total, Event.FORMAT_END, events_user)
+        return image, s, channels
 
     if device_entropy is None:
         device_entropy = jax.default_backend() != "cpu"

@@ -94,5 +94,26 @@ def load() -> ctypes.CDLL:
             ctypes.c_void_p,
             ctypes.c_void_p,
         ]
+
+        lib.akort_tile_unlift.restype = ctypes.c_int32
+        lib.akort_tile_unlift.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_void_p,
+        ]
+        lib.akort_planes_to_u8.restype = None
+        lib.akort_planes_to_u8.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_void_p,
+        ]
         _lib = lib
         return _lib

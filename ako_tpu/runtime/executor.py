@@ -221,6 +221,11 @@ class PipelineDecoder:
 
         h, w, channels = shape
         image = np.empty((h, w, channels), dtype=np.uint8)
+        if isinstance(dispatched, tuple) and dispatched[0] == "host":
+            for fut in dispatched[1]:
+                t, pix = fut.result()
+                image[t.y : t.y + t.h, t.x : t.x + t.w] = pix
+            return image
         for tiles, th, tw, pixels_dev in dispatched:
             place_pixels(image, tiles, th, tw, pixels_dev)
         return image
@@ -230,15 +235,43 @@ class PipelineDecoder:
         device-entropy decoder (sync scan only on host) when available,
         else the host entropy stage. `residue` is the paired encoder's
         device-resident compressed rows for THIS blob (roundtrip_iter):
-        the decoder then uploads only sync tables, not the word pool."""
+        the decoder then uploads only sync tables, not the word pool.
+
+        With AKO_TPU_DECODE=host the blob never touches the device:
+        each tile's entropy decode + native unlift rides the worker
+        pool as its own future (runtime/hostcodec.py), and _collect
+        drains them on the IO thread — the decode stream costs zero
+        link bytes, which through the tunneled link is the win."""
         from ako_tpu.decode import (
             _check_decode_budget,
+            _entropy_one,
+            _read_tile_block,
             dispatch_tiles_device_entropy,
+            host_decode_mode,
         )
 
         view = memoryview(blob)
         channels, w, h, s = container.head_read(view)
         _check_decode_budget(w, h, channels)
+        if host_decode_mode():
+            from ako_tpu.runtime.hostcodec import tile_decode_pixels
+
+            grid = geometry.tile_grid(w, h, s.tiles_dimension)
+            cursor = container.HEAD_SIZE
+            blocks = []
+            for t in grid:
+                payload, cursor = _read_tile_block(view, cursor, t, s, channels)
+                blocks.append((t, payload))
+
+            def one(args):
+                t, payload = args
+                values = _entropy_one(payload, t, s, channels)
+                return t, tile_decode_pixels(
+                    values, t.w, t.h, channels, s.wavelet, s.wrap, s.color
+                )
+
+            futs = [pool.submit(one, b) for b in blocks]
+            return ("host", futs), (h, w, channels)
         if device_entropy and s.compression == Compression.KAGARI:
             grid = geometry.tile_grid(w, h, s.tiles_dimension)
             disp = dispatch_tiles_device_entropy(
@@ -293,12 +326,17 @@ def roundtrip_iter(
     """
     import os
 
+    from ako_tpu.decode import host_decode_mode
+
     enc = PipelineEncoder(settings, workers=workers, device_entropy=device_entropy)
     dec = PipelineDecoder(workers=workers)
     # Paired residue reuse (default on, AKO_TPU_RESIDENT=0 to A/B):
     # the decode of blob i reads its word pool from the encoder's
     # still-device-resident compressed rows — ~2 MB/image less uplink.
-    keep_residue = os.environ.get("AKO_TPU_RESIDENT", "1") != "0"
+    # Pointless under host decode (the blob never goes back up).
+    keep_residue = (
+        os.environ.get("AKO_TPU_RESIDENT", "1") != "0" and not host_decode_mode()
+    )
     q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
     stop = threading.Event()
 

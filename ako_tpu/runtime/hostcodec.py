@@ -1,0 +1,86 @@
+"""Host-native decode compute: the inverse DWT + pixel format on CPU.
+
+The TPU is the codec's compute engine, but through the tunneled
+host<->device link the decode direction is LINK-bound, not
+compute-bound: fetching decoded pixels costs ~3.9 MB/image of downlink
+(~2.3 MB transported) while the blob itself — which the host already
+holds — is ~2.1 MB and fully determines the pixels. These wrappers
+expose akort.c's native tile unlift + inverse color (semantics of
+ops/lifting.py:inverse_tile and ops/colorspace.py:to_interleaved_u8,
+reference library/lifting.c:295 / format.c:244) so a decode can run
+entirely on the host CPU with ZERO link traffic:
+
+- the host-decode pipeline path (decode.decode / runtime.executor with
+  AKO_TPU_DECODE=host), raced by bench.py against the device paths;
+- the transport unpack (runtime/transport.py), which previously burned
+  ~131 ms/image in a CPU-XLA unlift program.
+
+Tiles are independent, and ctypes releases the GIL during the native
+calls, so callers fan tiles out on the shared worker pool.
+Bit-exactness is asserted against the Python/XLA ops (which are
+oracle-tested against the reference) in tests/test_hostcodec.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ako_tpu.core.settings import AkoError, Color, Status, Wavelet, Wrap
+from ako_tpu.runtime.build import load
+
+
+def tile_unlift(
+    values: np.ndarray,
+    tile_w: int,
+    tile_h: int,
+    channels: int,
+    wavelet: Wavelet,
+    wrap: Wrap,
+) -> np.ndarray:
+    """Serialized int16 coefficient stream -> planar int16
+    (channels, tile_h, tile_w). Raises AkoError on a size mismatch
+    (the stream length is fully determined by the tile geometry)."""
+    lib = load()
+    values = np.ascontiguousarray(values, dtype=np.int16)
+    out = np.empty((channels, tile_h, tile_w), dtype=np.int16)
+    rc = lib.akort_tile_unlift(
+        values.ctypes.data,
+        values.size,
+        tile_w,
+        tile_h,
+        channels,
+        int(wavelet),
+        int(wrap),
+        out.ctypes.data,
+    )
+    if rc != 0:
+        raise AkoError(Status.ERROR, f"native tile unlift failed (rc={rc})")
+    return out
+
+
+def planes_to_u8(planes: np.ndarray, color: Color) -> np.ndarray:
+    """Planar int16 (channels, h, w) -> interleaved u8 (h, w, channels)
+    with the inverse color transform + saturation."""
+    lib = load()
+    planes = np.ascontiguousarray(planes, dtype=np.int16)
+    channels, h, w = planes.shape
+    out = np.empty((h, w, channels), dtype=np.uint8)
+    lib.akort_planes_to_u8(
+        planes.ctypes.data, w, h, channels, int(color), out.ctypes.data
+    )
+    return out
+
+
+def tile_decode_pixels(
+    values: np.ndarray,
+    tile_w: int,
+    tile_h: int,
+    channels: int,
+    wavelet: Wavelet,
+    wrap: Wrap,
+    color: Color,
+) -> np.ndarray:
+    """Coefficient stream -> interleaved u8 tile, all native."""
+    return planes_to_u8(
+        tile_unlift(values, tile_w, tile_h, channels, wavelet, wrap), color
+    )

@@ -25,6 +25,8 @@ Build: cc -O2 -fPIC -shared akort.c -lm -o _akort.so (see build.py).
 #include <math.h>
 #include <stddef.h>
 #include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
 
 #define API __attribute__((visibility("default")))
 
@@ -437,4 +439,453 @@ API size_t akort_kagari_sync(size_t count, const void *input, size_t input_size,
 #undef SYNC_BITS
 	*max_code_bits = maxbits;
 	return (size_t)(src.pos - (const uint8_t *)input);
+}
+
+/* ------------------------------------------------------------------ */
+/* Native tile unlift + pixel format: the decode-side compute path on  */
+/* the host CPU.                                                       */
+/*                                                                     */
+/* Semantics contract: ako_tpu/ops/wavelets.py (unlift1d_pair,         */
+/* unlift2d), ops/lifting.py (inverse_tile) and ops/colorspace.py      */
+/* (to_interleaved_u8) — which are themselves oracle-tested against    */
+/* the reference decoder (library/lifting.c:295, wavelet-*.c,          */
+/* format.c:244). All arithmetic is int32 with an int16 truncation at  */
+/* every coefficient store; C's `/` is the truncating division both    */
+/* sides use. Used by the host-decode pipeline path and the transport  */
+/* unpack (runtime/hostcodec.py) so decoded pixels never need a        */
+/* device round-trip when the host<->device link is the bottleneck.    */
+
+enum { W_DD137 = 0, W_CDF53 = 1, W_HAAR = 2, W_NONE = 3 };
+enum { WR_CLAMP = 0, WR_MIRROR = 1, WR_REPEAT = 2, WR_ZERO = 3 };
+enum { CL_YCOCG = 0, CL_SUBG = 1, CL_NONE = 2, CL_YCOCG_Q = 3 };
+
+static int32_t half_plus_one(int32_t v)
+{
+	return (v % 2 == 0) ? v / 2 : (v + 1) / 2;
+}
+
+static int eff_wavelet(int wavelet, int32_t tw, int32_t th)
+{
+	/* sub-8x8 levels always lift CDF53 in DD137 mode
+	   (ops/wavelets.py:effective_wavelet) */
+	if (wavelet == W_DD137 && (tw < 8 || th < 8))
+		return W_CDF53;
+	return wavelet;
+}
+
+/* 1-D neighbor taps with the per-wrap edge substitutions of
+   ops/wavelets.py:_shift_{prev,next}{,2}. n >= 2 always (lift targets
+   never go below 2); the +-2 taps only run under DD137, whose levels
+   are >= 8 on the lifted axis. */
+
+static inline int32_t tap_m1(const int16_t *x, int n, int i, int wrap)
+{
+	if (i >= 1)
+		return x[i - 1];
+	if (wrap == WR_REPEAT)
+		return x[n - 1];
+	if (wrap == WR_ZERO)
+		return 0;
+	return x[0]; /* CLAMP and MIRROR share the +-1 edge rule */
+}
+
+static inline int32_t tap_p1(const int16_t *x, int n, int i, int wrap)
+{
+	if (i < n - 1)
+		return x[i + 1];
+	if (wrap == WR_REPEAT)
+		return x[0];
+	if (wrap == WR_ZERO)
+		return 0;
+	return x[n - 1];
+}
+
+static inline int32_t tap_m2(const int16_t *x, int n, int i, int wrap)
+{
+	if (i >= 2)
+		return x[i - 2];
+	switch (wrap) {
+	case WR_CLAMP:
+		return x[0];
+	case WR_MIRROR:
+		return x[i + 1]; /* i=0 -> x[1], i=1 -> x[2] */
+	case WR_REPEAT:
+		return x[n - 2 + i];
+	default:
+		return 0;
+	}
+}
+
+static inline int32_t tap_p2(const int16_t *x, int n, int i, int wrap)
+{
+	if (i < n - 2)
+		return x[i + 2];
+	switch (wrap) {
+	case WR_CLAMP:
+		return x[n - 1];
+	case WR_MIRROR:
+		return x[i - 1]; /* i=n-2 -> x[n-3], i=n-1 -> x[n-2] */
+	case WR_REPEAT:
+		return x[i - (n - 2)];
+	default:
+		return 0;
+	}
+}
+
+/* Contiguous 1-D inverse pair (the H pass works on rows): evens from
+   (lp, hp-neighborhood), then odds from (hp, ev-neighborhood). */
+static void unlift_pair_1d(int wavelet, int wrap, const int16_t *lp,
+                           const int16_t *hp, int n, int16_t *ev, int16_t *od)
+{
+	if (wavelet == W_HAAR) {
+		for (int i = 0; i < n; i++) {
+			ev[i] = lp[i];
+			od[i] = (int16_t)((int32_t)lp[i] + (int32_t)hp[i]);
+		}
+		return;
+	}
+	if (wavelet == W_CDF53) {
+		for (int i = 0; i < n; i++)
+			ev[i] = (int16_t)((int32_t)lp[i] -
+			                  (tap_m1(hp, n, i, wrap) + (int32_t)hp[i]) / 4);
+		for (int i = 0; i < n; i++)
+			od[i] = (int16_t)((int32_t)hp[i] +
+			                  ((int32_t)ev[i] + tap_p1(ev, n, i, wrap)) / 2);
+		return;
+	}
+	for (int i = 0; i < n; i++)
+		ev[i] = (int16_t)((int32_t)lp[i] -
+		                  (-tap_m2(hp, n, i, wrap) - tap_p1(hp, n, i, wrap) +
+		                   9 * (tap_m1(hp, n, i, wrap) + (int32_t)hp[i])) /
+		                      32);
+	for (int i = 0; i < n; i++)
+		od[i] = (int16_t)((int32_t)hp[i] -
+		                  (tap_m1(ev, n, i, wrap) + tap_p2(ev, n, i, wrap) -
+		                   9 * ((int32_t)ev[i] + tap_p1(ev, n, i, wrap))) /
+		                      16);
+}
+
+/* Row-pointer taps for the V pass (whole rows at a time, so the inner
+   loops stay contiguous and auto-vectorizable). `z` is a zeroed row. */
+static const int16_t *vrow_m1(const int16_t *x, int th, int tw, int i, int wrap,
+                              const int16_t *z)
+{
+	if (i >= 1)
+		return x + (size_t)(i - 1) * tw;
+	if (wrap == WR_REPEAT)
+		return x + (size_t)(th - 1) * tw;
+	if (wrap == WR_ZERO)
+		return z;
+	return x;
+}
+
+static const int16_t *vrow_p1(const int16_t *x, int th, int tw, int i, int wrap,
+                              const int16_t *z)
+{
+	if (i < th - 1)
+		return x + (size_t)(i + 1) * tw;
+	if (wrap == WR_REPEAT)
+		return x;
+	if (wrap == WR_ZERO)
+		return z;
+	return x + (size_t)(th - 1) * tw;
+}
+
+static const int16_t *vrow_m2(const int16_t *x, int th, int tw, int i, int wrap,
+                              const int16_t *z)
+{
+	if (i >= 2)
+		return x + (size_t)(i - 2) * tw;
+	switch (wrap) {
+	case WR_CLAMP:
+		return x;
+	case WR_MIRROR:
+		return x + (size_t)(i + 1) * tw;
+	case WR_REPEAT:
+		return x + (size_t)(th - 2 + i) * tw;
+	default:
+		return z;
+	}
+}
+
+static const int16_t *vrow_p2(const int16_t *x, int th, int tw, int i, int wrap,
+                              const int16_t *z)
+{
+	if (i < th - 2)
+		return x + (size_t)(i + 2) * tw;
+	switch (wrap) {
+	case WR_CLAMP:
+		return x + (size_t)(th - 1) * tw;
+	case WR_MIRROR:
+		return x + (size_t)(i - 1) * tw;
+	case WR_REPEAT:
+		return x + (size_t)(i - (th - 2)) * tw;
+	default:
+		return z;
+	}
+}
+
+/* Vertical inverse pair over whole (th x tw) quadrants. */
+static void unlift_pair_v(int wavelet, int wrap, const int16_t *lp,
+                          const int16_t *hp, int th, int tw, int16_t *ev,
+                          int16_t *od, const int16_t *zrow)
+{
+	if (wavelet == W_HAAR) {
+		for (int i = 0; i < th; i++)
+			for (int j = 0; j < tw; j++) {
+				ev[(size_t)i * tw + j] = lp[(size_t)i * tw + j];
+				od[(size_t)i * tw + j] =
+				    (int16_t)((int32_t)lp[(size_t)i * tw + j] +
+				              (int32_t)hp[(size_t)i * tw + j]);
+			}
+		return;
+	}
+	if (wavelet == W_CDF53) {
+		for (int i = 0; i < th; i++) {
+			const int16_t *l = lp + (size_t)i * tw;
+			const int16_t *h0 = hp + (size_t)i * tw;
+			const int16_t *hm = vrow_m1(hp, th, tw, i, wrap, zrow);
+			int16_t *e = ev + (size_t)i * tw;
+			for (int j = 0; j < tw; j++)
+				e[j] = (int16_t)((int32_t)l[j] -
+				                 ((int32_t)hm[j] + (int32_t)h0[j]) / 4);
+		}
+		for (int i = 0; i < th; i++) {
+			const int16_t *h0 = hp + (size_t)i * tw;
+			const int16_t *e0 = ev + (size_t)i * tw;
+			const int16_t *ep = vrow_p1(ev, th, tw, i, wrap, zrow);
+			int16_t *o = od + (size_t)i * tw;
+			for (int j = 0; j < tw; j++)
+				o[j] = (int16_t)((int32_t)h0[j] +
+				                 ((int32_t)e0[j] + (int32_t)ep[j]) / 2);
+		}
+		return;
+	}
+	for (int i = 0; i < th; i++) {
+		const int16_t *l = lp + (size_t)i * tw;
+		const int16_t *h0 = hp + (size_t)i * tw;
+		const int16_t *hm1 = vrow_m1(hp, th, tw, i, wrap, zrow);
+		const int16_t *hp1 = vrow_p1(hp, th, tw, i, wrap, zrow);
+		const int16_t *hm2 = vrow_m2(hp, th, tw, i, wrap, zrow);
+		int16_t *e = ev + (size_t)i * tw;
+		for (int j = 0; j < tw; j++)
+			e[j] = (int16_t)((int32_t)l[j] -
+			                 (-(int32_t)hm2[j] - (int32_t)hp1[j] +
+			                  9 * ((int32_t)hm1[j] + (int32_t)h0[j])) /
+			                     32);
+	}
+	for (int i = 0; i < th; i++) {
+		const int16_t *h0 = hp + (size_t)i * tw;
+		const int16_t *e0 = ev + (size_t)i * tw;
+		const int16_t *em1 = vrow_m1(ev, th, tw, i, wrap, zrow);
+		const int16_t *ep1 = vrow_p1(ev, th, tw, i, wrap, zrow);
+		const int16_t *ep2 = vrow_p2(ev, th, tw, i, wrap, zrow);
+		int16_t *o = od + (size_t)i * tw;
+		for (int j = 0; j < tw; j++)
+			o[j] = (int16_t)((int32_t)h0[j] -
+			                 ((int32_t)em1[j] + (int32_t)ep2[j] -
+			                  9 * ((int32_t)e0[j] + (int32_t)ep1[j])) /
+			                     16);
+	}
+}
+
+/* One 2-D inverse level: quadrants (th x tw) -> plane
+   ((2*th - fake_row) x (2*tw - fake_col)). V pairs first (ll|c and
+   b|d), then per-row H merges with even/odd interleave, dropping the
+   fabricated last column/row (ops/wavelets.py:unlift2d). */
+static void unlift2d_level(int weff, int wrap, const int16_t *ll,
+                           const int16_t *b, const int16_t *c,
+                           const int16_t *d, int th, int tw, int fake_col,
+                           int fake_row, int16_t *out, int16_t *scr)
+{
+	const int cw = 2 * tw - fake_col;
+	const int chh = 2 * th - fake_row;
+	int16_t *ev_l = scr;
+	int16_t *od_l = ev_l + (size_t)th * tw;
+	int16_t *ev_r = od_l + (size_t)th * tw;
+	int16_t *od_r = ev_r + (size_t)th * tw;
+	int16_t *ev_s = od_r + (size_t)th * tw;
+	int16_t *od_s = ev_s + tw;
+	int16_t *zrow = od_s + tw; /* pre-zeroed by the caller's calloc */
+
+	unlift_pair_v(weff, wrap, ll, c, th, tw, ev_l, od_l, zrow);
+	unlift_pair_v(weff, wrap, b, d, th, tw, ev_r, od_r, zrow);
+
+	for (int i = 0; i < th; i++) {
+		unlift_pair_1d(weff, wrap, ev_l + (size_t)i * tw,
+		               ev_r + (size_t)i * tw, tw, ev_s, od_s);
+		int16_t *orow = out + (size_t)(2 * i) * cw;
+		for (int j = 0; j < tw; j++) {
+			orow[2 * j] = ev_s[j];
+			if (2 * j + 1 < cw)
+				orow[2 * j + 1] = od_s[j];
+		}
+		if (2 * i + 1 < chh) {
+			unlift_pair_1d(weff, wrap, od_l + (size_t)i * tw,
+			               od_r + (size_t)i * tw, tw, ev_s, od_s);
+			orow = out + (size_t)(2 * i + 1) * cw;
+			for (int j = 0; j < tw; j++) {
+				orow[2 * j] = ev_s[j];
+				if (2 * j + 1 < cw)
+					orow[2 * j + 1] = od_s[j];
+			}
+		}
+	}
+}
+
+/*
+Full tile unlift: serialized coefficient stream (the entropy decoder's
+output; wire layout of ops/lifting.py — LP planes per channel, then per
+level smallest->largest, per channel [int16 q][HP-C][HP-B][HP-D]) ->
+planar int16 (channels x tile_h x tile_w). `stream_elems` must equal
+tile_data_size(tile_w, tile_h) * channels / 2 (checked). Returns 0 on
+success, -1 on argument/size mismatch, -2 on allocation failure.
+*/
+API int32_t akort_tile_unlift(const int16_t *stream, size_t stream_elems,
+                              int32_t tile_w, int32_t tile_h, int32_t channels,
+                              int32_t wavelet, int32_t wrap,
+                              int16_t *planes_out)
+{
+	int32_t cur_w[40], cur_h[40], tgt_w[40], tgt_h[40];
+	int n_lvl = 0;
+	int32_t w = tile_w, h = tile_h;
+
+	if (tile_w < 1 || tile_h < 1 || channels < 1 || stream == NULL ||
+	    planes_out == NULL)
+		return -1;
+
+	while (w > 2 && h > 2 && n_lvl < 40) {
+		cur_w[n_lvl] = w;
+		cur_h[n_lvl] = h;
+		w = half_plus_one(w);
+		h = half_plus_one(h);
+		tgt_w[n_lvl] = w;
+		tgt_h[n_lvl] = h;
+		n_lvl++;
+	}
+	const size_t lp_n = (size_t)w * h;
+	const size_t area = (size_t)tile_w * tile_h;
+
+	if (wavelet == W_NONE || n_lvl == 0) {
+		/* raw planar passthrough: the stream IS the planes */
+		if (stream_elems != area * (size_t)channels)
+			return -1;
+		memcpy(planes_out, stream, (size_t)channels * area * 2);
+		return 0;
+	}
+
+	size_t expect = lp_n;
+	for (int k = 0; k < n_lvl; k++)
+		expect += 1 + 3 * (size_t)tgt_w[k] * tgt_h[k];
+	if (stream_elems != expect * (size_t)channels)
+		return -1;
+
+	/* scratch: ping+pong planes, 3 dequantized quadrants, and the
+	   unlift2d working set (4 quadrant buffers + 2 rows + zero row),
+	   all sized for the largest level */
+	const size_t qa = (size_t)tgt_w[0] * tgt_h[0];
+	const size_t scr_elems = 4 * qa + 3 * (size_t)tgt_w[0];
+	int16_t *mem = (int16_t *)calloc(2 * area + 3 * qa + scr_elems, 2);
+	if (mem == NULL)
+		return -2;
+	int16_t *ping = mem;
+	int16_t *pong = ping + area;
+	int16_t *dq = pong + area; /* 3 quadrants: C, B, D */
+	int16_t *scr = dq + 3 * qa;
+
+	/* per-level chunk base offsets in the stream (levels are serialized
+	   smallest first, i.e. k = n_lvl-1 first) */
+	size_t base[40];
+	size_t off = lp_n * (size_t)channels;
+	for (int k = n_lvl - 1; k >= 0; k--) {
+		base[k] = off;
+		off += (size_t)channels * (1 + 3 * (size_t)tgt_w[k] * tgt_h[k]);
+	}
+
+	for (int ch = 0; ch < channels; ch++) {
+		int16_t *cur = ping;
+		int16_t *nxt = pong;
+		memcpy(cur, stream + (size_t)ch * lp_n, lp_n * 2);
+
+		for (int k = n_lvl - 1; k >= 0; k--) {
+			const int tw = tgt_w[k], th = tgt_h[k];
+			const size_t n = (size_t)tw * th;
+			const int16_t *chunk = stream + base[k] + (size_t)ch * (1 + 3 * n);
+			const int32_t q = chunk[0];
+			const int16_t *src = chunk + 1; /* C then B then D */
+			if (q > 1) {
+				for (size_t t = 0; t < 3 * n; t++)
+					dq[t] = (int16_t)((int32_t)src[t] * q);
+			} else {
+				memcpy(dq, src, 3 * n * 2);
+			}
+			const int16_t *qc = dq;
+			const int16_t *qb = dq + n;
+			const int16_t *qd = dq + 2 * n;
+			const int weff = eff_wavelet(wavelet, tw, th);
+			/* zero row lives at the tail of scr; re-zero since DD137's
+			   tap rows only read, never write, but prior levels share
+			   the buffer */
+			memset(scr + 4 * n + 2 * tw, 0, (size_t)tw * 2);
+			unlift2d_level(weff, wrap, cur, qb, qc, qd, th, tw,
+			               2 * tw - cur_w[k], 2 * th - cur_h[k], nxt, scr);
+			int16_t *t2 = cur;
+			cur = nxt;
+			nxt = t2;
+		}
+		memcpy(planes_out + (size_t)ch * area, cur, area * 2);
+	}
+	free(mem);
+	return 0;
+}
+
+static inline uint8_t sat_u8(int32_t v)
+{
+	return (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
+}
+
+/*
+Inverse color transform + saturation + interleave: planar int16
+(channels x h x w) -> interleaved u8 (h x w x channels). Semantics of
+ops/colorspace.py:to_interleaved_u8 (reference format.c:244-311):
+YCoCg / YCoCg_Q (x2 Y premultiply undone first) / Subtract-Green on the
+first three channels when channels >= 3, every channel saturated to
+0..255.
+*/
+API void akort_planes_to_u8(const int16_t *planes, int32_t w, int32_t h,
+                            int32_t channels, int32_t color, uint8_t *out)
+{
+	const size_t area = (size_t)w * h;
+	const int do_color =
+	    channels >= 3 &&
+	    (color == CL_YCOCG || color == CL_YCOCG_Q || color == CL_SUBG);
+
+	for (size_t p = 0; p < area; p++) {
+		if (do_color) {
+			int32_t y = planes[p];
+			const int32_t u = planes[area + p];
+			const int32_t v = planes[2 * area + p];
+			int32_t r, g, b;
+			if (color == CL_SUBG) {
+				r = (int16_t)(u + y);
+				g = (int16_t)y;
+				b = (int16_t)(v + y);
+			} else {
+				if (color == CL_YCOCG_Q)
+					y = (int16_t)(y / 2);
+				const int32_t tmp = (int16_t)(y - v / 2);
+				g = (int16_t)(v + tmp);
+				b = (int16_t)(tmp - u / 2);
+				r = (int16_t)(b + u);
+			}
+			out[p * channels + 0] = sat_u8(r);
+			out[p * channels + 1] = sat_u8(g);
+			out[p * channels + 2] = sat_u8(b);
+			for (int32_t c = 3; c < channels; c++)
+				out[p * channels + c] = sat_u8(planes[(size_t)c * area + p]);
+		} else {
+			for (int32_t c = 0; c < channels; c++)
+				out[p * channels + c] = sat_u8(planes[(size_t)c * area + p]);
+		}
+	}
 }

@@ -80,8 +80,9 @@ def _dir_enabled(dir_var: str) -> bool:
 
 def enabled() -> bool:
     """Decode-side transport (pixel DOWNLOAD packed on device, unpacked
-    on host); requires a host CPU backend for the unpack."""
-    return _dir_enabled("AKO_TPU_TRANSPORT_DEC") and _cpu_device() is not None
+    on host). The unpack is fully native (runtime/hostcodec.py) so no
+    host CPU-XLA backend is required."""
+    return _dir_enabled("AKO_TPU_TRANSPORT_DEC")
 
 
 def enc_enabled() -> bool:
@@ -150,13 +151,14 @@ def fetch_pixels(out: TransportOut) -> np.ndarray:
 
 
 def _unpack_host(payloads, tw: int, th: int, channels: int) -> np.ndarray:
-    """Entropy-decode the per-tile q0 payloads with the native coder
-    (independent tiles; ctypes releases the GIL, so they fan out on
-    the shared worker pool) and unlift them with a CPU-pinned program
-    -- committed CPU inputs keep the jitted executable off the
-    tunneled chip this path exists to relieve."""
-    from ako_tpu.decode import _tile_decoder
+    """Entropy-decode + unlift + format the per-tile q0 payloads
+    entirely with the native coder (runtime/hostcodec.py): independent
+    tiles, ctypes releases the GIL, so they fan out on the shared
+    worker pool. Replaces the round-2 CPU-XLA unlift program, which
+    cost ~131 ms/image (CDF53) and made DD137's tighter packing
+    uneconomical at 464 ms; the native path is ~25 ms/image pooled."""
     from ako_tpu.encode import _fetch_pool
+    from ako_tpu.runtime.hostcodec import tile_decode_pixels
     from ako_tpu.runtime.kagari import kagari_decode
 
     tds = geometry.tile_data_size(tw, th) * channels
@@ -166,11 +168,11 @@ def _unpack_host(payloads, tw: int, th: int, channels: int) -> np.ndarray:
         res = kagari_decode(tds // 2, p, tds + spacing)
         if res is None:  # impossible for our own coder's output
             raise AkoError(Status.ERROR, "transport unpack failed")
-        return res[0]
+        return tile_decode_pixels(
+            res[0], tw, th, channels, _WAVELET, _WRAP, _COLOR
+        )
 
-    values = list(_fetch_pool().map(one, payloads))
-    fn = _tile_decoder(tw, th, channels, _WAVELET, _WRAP, _COLOR, out="ileaved")
-    return np.asarray(fn(jax.device_put(np.stack(values, axis=0), _cpu_device())))
+    return np.stack(list(_fetch_pool().map(one, payloads)), axis=0)
 
 
 def upload_tiles_packed(batch: np.ndarray):

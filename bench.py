@@ -130,53 +130,110 @@ PROBE_ROUNDS = 3
 
 
 def _candidates():
-    """Benchmark configurations to race: (name, pass_fn, transport).
+    """Benchmark configurations to race: (name, pass_fn, env overrides).
 
     The winner depends on live link properties no constant can encode:
     roundtrip mode wins iff the tunnel carries the encode uplink and
-    decode downlink concurrently (full duplex), transport compression
-    wins iff downlink bytes — not host CPU — bound the decode stream
-    (it trades ~2.1 MB/img of downlink for ~190 ms/img of overlappable
-    host unpack). AKO_BENCH_MODE (seq|roundtrip) and AKO_TPU_TRANSPORT
-    (0|1) pin either axis; unset axes are probed."""
+    decode downlink concurrently (full duplex); transport compression
+    wins iff downlink bytes — not host CPU — bound the decode stream;
+    host decode (AKO_TPU_DECODE=host: the native-C unlift runs the
+    decode entirely on the host CPU, zero link bytes) wins whenever the
+    link — not the 4-core host — is the bottleneck, which through the
+    tunnel is almost always. AKO_BENCH_MODE (seq|roundtrip),
+    AKO_TPU_TRANSPORT (0|1) and AKO_TPU_DECODE (device|host) pin their
+    axes; unset axes are probed."""
     mode_pin = os.environ.get("AKO_BENCH_MODE", "auto")
     transport_pin = os.environ.get("AKO_TPU_TRANSPORT")
+    decode_pin = os.environ.get("AKO_TPU_DECODE", "auto")
     modes = {
         "seq": [("seq", bench_ours)],
         "roundtrip": [("roundtrip", bench_ours_roundtrip)],
     }.get(mode_pin, [("seq", bench_ours), ("roundtrip", bench_ours_roundtrip)])
-    transports = [transport_pin == "1"] if transport_pin in ("0", "1") else [False, True]
-    return [
-        (f"{mname}+{'transport' if tr else 'raw'}", fn, tr)
-        for tr in transports
-        for mname, fn in modes
-    ]
+    transports = (
+        [transport_pin == "1"] if transport_pin in ("0", "1") else [False, True]
+    )
+
+    cands = []
+    if decode_pin in ("auto", "device"):
+        for tr in transports:
+            for mname, fn in modes:
+                # seq+transport has never won a capture; keep the race
+                # tight unless transport is explicitly pinned on
+                if tr and mname == "seq" and transport_pin != "1":
+                    continue
+                cands.append(
+                    (
+                        f"{mname}+{'transport' if tr else 'raw'}",
+                        fn,
+                        {
+                            "AKO_TPU_TRANSPORT": "1" if tr else "0",
+                            "AKO_TPU_TRANSPORT_ENC": "",
+                            "AKO_TPU_DECODE": "device",
+                        },
+                    )
+                )
+    if decode_pin in ("auto", "host"):
+        enctrs = (
+            [transport_pin == "1"]
+            if transport_pin in ("0", "1")
+            else [False, True]
+        )
+        for enctr in enctrs:
+            for mname, fn in modes:
+                if enctr and mname == "seq" and transport_pin != "1":
+                    continue
+                cands.append(
+                    (
+                        f"{mname}+hostdec{'+enctr' if enctr else ''}",
+                        fn,
+                        {
+                            "AKO_TPU_TRANSPORT": "0",
+                            "AKO_TPU_TRANSPORT_ENC": "1" if enctr else "0",
+                            "AKO_TPU_DECODE": "host",
+                        },
+                    )
+                )
+    return cands
 
 
-def _run_candidate(fn, transport: bool, images, settings):
-    os.environ["AKO_TPU_TRANSPORT"] = "1" if transport else "0"
+def _run_candidate(fn, env: dict, images, settings):
+    for k, v in env.items():
+        if v == "":
+            os.environ.pop(k, None)
+        else:
+            os.environ[k] = v
     return fn(images, settings, warm=False)
 
 
 def _select_config(cands, images, settings):
     """Warm every distinct program set once, then race the candidates
-    with up to PROBE_ROUNDS interleaved passes each; returns the
-    median-best candidate. With a single candidate (both axes pinned)
-    this is just the warmup.
+    with up to PROBE_ROUNDS interleaved passes each; returns
+    (median-best candidate, probe medians dict). With a single
+    candidate (all axes pinned) this is just the warmup.
 
     Probe depth adapts to the link: on a degraded tunnel a single pass
-    can take minutes, and 3 rounds x 4 candidates would dwarf the timed
+    can take minutes, and 3 rounds x N candidates would dwarf the timed
     runs — scale rounds down so the whole probe stays bounded."""
-    for transport in sorted({tr for _, _, tr in cands}):
-        _run_candidate(bench_ours, transport, images, settings)  # warm
+    # device-path program warmup: transport=1 compiles the superset
+    # (enc+dec transport programs); host decode adds no device programs
+    warm_transports = sorted(
+        {env.get("AKO_TPU_TRANSPORT", "0") for _, _, env in cands}
+    )
+    for tr in warm_transports:
+        _run_candidate(
+            bench_ours,
+            {"AKO_TPU_TRANSPORT": tr, "AKO_TPU_TRANSPORT_ENC": "", "AKO_TPU_DECODE": "device"},
+            images,
+            settings,
+        )
     if len(cands) == 1:
-        return cands[0]
+        return cands[0], {}
     budget = float(os.environ.get("AKO_BENCH_PROBE_S", "240"))
     probes = {name: [] for name, _, _ in cands}
     t_start = time.perf_counter()
     for r in range(PROBE_ROUNDS):
-        for name, fn, tr in cands:
-            t, _, _ = _run_candidate(fn, tr, images, settings)
+        for name, fn, env in cands:
+            t, _, _ = _run_candidate(fn, env, images, settings)
             probes[name].append(t)
         # warm timings include compile, so the budget is enforced on
         # the probes themselves: always one full interleaved round,
@@ -191,7 +248,9 @@ def _select_config(cands, images, settings):
         + f" -> {best}",
         file=sys.stderr,
     )
-    return next(c for c in cands if c[0] == best)
+    return next(c for c in cands if c[0] == best), {
+        n: round(t, 3) for n, t in med.items()
+    }
 
 
 def _tune_link() -> None:
@@ -310,12 +369,14 @@ def main() -> int:
     settings = ako_tpu.Settings(quantization=16, tiles_dimension=TILES)
 
     _tune_link()
-    config, ours_fn, transport = _select_config(_candidates(), images, settings)
+    (config, ours_fn, env), probe_medians = _select_config(
+        _candidates(), images, settings
+    )
     times_ours = []
     for i in range(RUNS):
         # selection already warmed compiles + caches; every run here is
         # a clean timed pass
-        t, blobs_ours, outs_ours = _run_candidate(ours_fn, transport, images, settings)
+        t, blobs_ours, outs_ours = _run_candidate(ours_fn, env, images, settings)
         times_ours.append(t)
     t_ours = sorted(times_ours)[RUNS // 2]
     mps = STREAM_N * MEGAPIXELS / t_ours
@@ -354,6 +415,12 @@ def main() -> int:
                 "unit": "MP/s",
                 "vs_baseline": round(vs_baseline, 3),
                 "config": config,
+                # round-over-round interpretability: the raced configs'
+                # interleaved probe medians (s) and per-run times, so a
+                # number swing is attributable to the link vs the code
+                "probe_medians_s": probe_medians,
+                "runs_s": [round(t, 3) for t in times_ours],
+                "ref_runs_s": [round(t, 3) for t in times_ref],
             }
         )
     )

@@ -1,9 +1,10 @@
 """bench.py configuration auto-selection (no devices needed).
 
-The benchmark races stream-shape x transport candidates with
-interleaved probe medians (bench._select_config); these tests pin the
-selection/pinning semantics with stub pass functions so a regression
-cannot silently change what the driver's round-end bench measures.
+The benchmark races stream-shape x transport x decode-placement
+candidates with interleaved probe medians (bench._select_config);
+these tests pin the selection/pinning semantics with stub pass
+functions so a regression cannot silently change what the driver's
+round-end bench measures.
 """
 
 from __future__ import annotations
@@ -27,19 +28,31 @@ def _stub(t):
     return fn
 
 
+def _env(transport="0", enctr="", decode="device"):
+    return {
+        "AKO_TPU_TRANSPORT": transport,
+        "AKO_TPU_TRANSPORT_ENC": enctr,
+        "AKO_TPU_DECODE": decode,
+    }
+
+
 @pytest.fixture(autouse=True)
 def _clean_env(monkeypatch):
     monkeypatch.delenv("AKO_BENCH_MODE", raising=False)
     monkeypatch.delenv("AKO_TPU_TRANSPORT", raising=False)
+    monkeypatch.delenv("AKO_TPU_TRANSPORT_ENC", raising=False)
+    monkeypatch.delenv("AKO_TPU_DECODE", raising=False)
 
 
-def test_candidates_unpinned_races_all_four():
+def test_candidates_unpinned_races_all_six():
     names = [c[0] for c in bench._candidates()]
     assert names == [
         "seq+raw",
         "roundtrip+raw",
-        "seq+transport",
         "roundtrip+transport",
+        "seq+hostdec",
+        "roundtrip+hostdec",
+        "roundtrip+hostdec+enctr",
     ]
 
 
@@ -48,39 +61,66 @@ def test_candidates_pinning(monkeypatch):
     assert [c[0] for c in bench._candidates()] == [
         "roundtrip+raw",
         "roundtrip+transport",
+        "roundtrip+hostdec",
+        "roundtrip+hostdec+enctr",
     ]
     monkeypatch.setenv("AKO_TPU_TRANSPORT", "1")
+    assert [c[0] for c in bench._candidates()] == [
+        "roundtrip+transport",
+        "roundtrip+hostdec+enctr",
+    ]
+    monkeypatch.setenv("AKO_TPU_DECODE", "device")
     assert [c[0] for c in bench._candidates()] == ["roundtrip+transport"]
     monkeypatch.setenv("AKO_BENCH_MODE", "seq")
     monkeypatch.setenv("AKO_TPU_TRANSPORT", "0")
     assert [c[0] for c in bench._candidates()] == ["seq+raw"]
+    monkeypatch.setenv("AKO_TPU_DECODE", "host")
+    assert [c[0] for c in bench._candidates()] == ["seq+hostdec"]
+
+
+def test_candidates_host_env_values():
+    by_name = {c[0]: c[2] for c in bench._candidates()}
+    assert by_name["roundtrip+hostdec"]["AKO_TPU_DECODE"] == "host"
+    assert by_name["roundtrip+hostdec"]["AKO_TPU_TRANSPORT_ENC"] == "0"
+    assert by_name["roundtrip+hostdec+enctr"]["AKO_TPU_TRANSPORT_ENC"] == "1"
+    assert by_name["roundtrip+transport"]["AKO_TPU_DECODE"] == "device"
 
 
 def test_select_config_picks_fastest_median(monkeypatch):
     monkeypatch.setattr(bench, "bench_ours", _stub(9.0))
     cands = [
-        ("seq+raw", _stub(9.0), False),
-        ("roundtrip+raw", _stub(3.0), False),
-        ("seq+transport", _stub(8.0), True),
-        ("roundtrip+transport", _stub(4.0), True),
+        ("seq+raw", _stub(9.0), _env()),
+        ("roundtrip+raw", _stub(3.0), _env()),
+        ("roundtrip+transport", _stub(4.0), _env("1")),
+        ("roundtrip+hostdec", _stub(5.0), _env(decode="host")),
     ]
-    name, fn, transport = bench._select_config(cands, [], None)
-    assert (name, transport) == ("roundtrip+raw", False)
+    (name, fn, env), medians = bench._select_config(cands, [], None)
+    assert name == "roundtrip+raw" and env["AKO_TPU_DECODE"] == "device"
+    assert medians["roundtrip+raw"] == 3.0 and len(medians) == 4
 
 
-def test_select_config_sets_transport_env(monkeypatch):
+def test_select_config_sets_env(monkeypatch):
     seen = []
 
     def spy(images, settings, warm=True):
-        seen.append(os.environ.get("AKO_TPU_TRANSPORT"))
+        seen.append(
+            (
+                os.environ.get("AKO_TPU_TRANSPORT"),
+                os.environ.get("AKO_TPU_DECODE"),
+            )
+        )
         return 1.0, [], []
 
     monkeypatch.setattr(bench, "bench_ours", spy)
-    cands = [("seq+raw", spy, False), ("seq+transport", spy, True)]
+    cands = [
+        ("seq+raw", spy, _env("0")),
+        ("seq+hostdec", spy, _env("0", "0", "host")),
+    ]
     bench._select_config(cands, [], None)
-    # warm passes one per transport setting, then 3 interleaved rounds
-    assert seen[:2] == ["0", "1"]
-    assert seen[2:] == ["0", "1"] * bench.PROBE_ROUNDS
+    # one device-path warm pass (single distinct transport value), then
+    # 3 interleaved rounds over both candidates
+    assert seen[0] == ("0", "device")
+    assert seen[1:] == [("0", "device"), ("0", "host")] * bench.PROBE_ROUNDS
 
 
 def test_select_config_single_candidate_warms_only(monkeypatch):
@@ -91,5 +131,7 @@ def test_select_config_single_candidate_warms_only(monkeypatch):
         return 1.0, [], []
 
     monkeypatch.setattr(bench, "bench_ours", spy)
-    name, fn, transport = bench._select_config([("seq+raw", spy, False)], [], None)
-    assert name == "seq+raw" and len(calls) == 1
+    (name, fn, env), medians = bench._select_config(
+        [("seq+raw", spy, _env())], [], None
+    )
+    assert name == "seq+raw" and len(calls) == 1 and medians == {}
