@@ -47,7 +47,9 @@ class TestHaloShardedLift:
         )
         np.testing.assert_array_equal(sharded, ref)
 
-    @pytest.mark.parametrize("wavelet", [Wavelet.DD137, Wavelet.CDF53])
+    @pytest.mark.parametrize(
+        "wavelet", [Wavelet.DD137, Wavelet.CDF53, Wavelet.HAAR]
+    )
     def test_inverse_matches_single_chip(self, rng, wavelet):
         mesh = make_mesh((8,), ("rows",))
         w = h = 128
@@ -68,6 +70,42 @@ class TestHaloShardedLift:
             )(coeffs)
         )
         np.testing.assert_array_equal(sharded, ref)
+
+    @pytest.mark.parametrize("w,h", [(127, 127), (96, 100)])
+    def test_odd_dims_replicated_fallback(self, rng, w, h):
+        # odd/ragged dims make every (or some) level fail _can_shard's
+        # even-split requirement: the lift must bail to the replicated
+        # path and stay bit-identical (pins the bail-out logic)
+        from ako_tpu.parallel.halo import _can_shard
+
+        mesh = make_mesh((8,), ("rows",))
+        wavelet, wrap = Wavelet.DD137, Wrap.CLAMP
+        schedule = geometry.lift_schedule(w, h)
+        assert not all(_can_shard(lvl, 8) for lvl in schedule.levels)
+        planes = rng.integers(-512, 512, size=(2, h, w)).astype(np.int16)
+        qg = level_qg(schedule, 2, 16, 0, 1)
+        ref = np.asarray(
+            jax.jit(lambda p: forward_tile(p, schedule, wavelet, wrap, qg))(
+                jnp.asarray(planes)
+            )
+        )
+        got = np.asarray(
+            jax.jit(
+                lambda p: forward_tile_sharded(p, schedule, wavelet, wrap, qg, mesh)
+            )(jnp.asarray(planes))
+        )
+        np.testing.assert_array_equal(got, ref)
+        rec_ref = np.asarray(
+            jax.jit(lambda c: inverse_tile(c, schedule, wavelet, wrap, 2))(
+                jnp.asarray(ref)
+            )
+        )
+        rec = np.asarray(
+            jax.jit(
+                lambda c: inverse_tile_sharded(c, schedule, wavelet, wrap, 2, mesh)
+            )(jnp.asarray(got))
+        )
+        np.testing.assert_array_equal(rec, rec_ref)
 
     def test_lossless_roundtrip_sharded(self, rng):
         mesh = make_mesh((8,), ("rows",))
@@ -159,7 +197,8 @@ class TestStreamingDecode:
 
 @needs_8dev
 class TestShardedDecode:
-    def test_decode_image_sharded(self, rng):
+    @pytest.mark.parametrize("device_entropy", [False, True])
+    def test_decode_image_sharded(self, rng, device_entropy):
         import ako_tpu
         from ako_tpu.parallel.tiles import decode_image_sharded
 
@@ -168,6 +207,50 @@ class TestShardedDecode:
         s = Settings(quantization=16, tiles_dimension=32)
         blob = ako_tpu.encode(img, s)
         ref, _, _ = ako_tpu.decode(blob)
-        got, s2, ch = decode_image_sharded(blob, mesh)
+        got, s2, ch = decode_image_sharded(blob, mesh, device_entropy=device_entropy)
         assert ch == 3
+        np.testing.assert_array_equal(got, ref)
+
+    def test_decode_image_sharded_device_entropy_ragged(self, rng):
+        # border tiles (two shape groups) + batch not divisible by the
+        # mesh: exercises the pad-row repeat and per-shape dispatch
+        import ako_tpu
+        from ako_tpu.parallel.tiles import decode_image_sharded
+
+        mesh = make_mesh((8,), ("tiles",))
+        img = rng.integers(0, 256, size=(80, 72, 4), dtype=np.uint8)
+        s = Settings(quantization=16, tiles_dimension=32)
+        blob = ako_tpu.encode(img, s)
+        ref, _, _ = ako_tpu.decode(blob)
+        got, _s2, _ch = decode_image_sharded(blob, mesh, device_entropy=True)
+        np.testing.assert_array_equal(got, ref)
+
+    def test_device_entropy_quirk_tiles_fall_back_to_host(self, rng, monkeypatch):
+        # oversized-code streams (max_code_bits > 31, the
+        # zigzag(-32768) quirk) must route through the exact host
+        # decoder and still land in the sharded unlift; force the
+        # routing by making the sync scan report oversized codes
+        import ako_tpu
+        from ako_tpu.runtime import kagari as rk
+        from ako_tpu.parallel import tiles as ptiles
+
+        mesh = make_mesh((8,), ("tiles",))
+        img = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+        s = Settings(quantization=16, tiles_dimension=32)
+        blob = ako_tpu.encode(img, s)
+        ref, _, _ = ako_tpu.decode(blob)
+
+        real_sync = rk.kagari_sync
+        hits = [0]
+
+        def oversized_first(*a, **k):
+            res = real_sync(*a, **k)
+            if res is not None and hits[0] == 0:
+                hits[0] += 1
+                return res[:5] + (32,)
+            return res
+
+        monkeypatch.setattr(rk, "kagari_sync", oversized_first)
+        got, _s2, _ch = ptiles.decode_image_sharded(blob, mesh, device_entropy=True)
+        assert hits[0] == 1
         np.testing.assert_array_equal(got, ref)
