@@ -609,7 +609,8 @@ def _resident_rows(items, res_group):
 
 
 def dispatch_tiles_device_entropy(view, cursor: int, grid, s: Settings, channels: int,
-                                  pool=None, residue=None):
+                                  pool=None, residue=None,
+                                  events=None, events_user=None):
     """Device-entropy decode phase 1: scan every tile's Kagari block on
     host (sync records only — no value decode), upload compressed words
     + sync, and dispatch the fused entropy-decode + unlift + format
@@ -625,7 +626,9 @@ def dispatch_tiles_device_entropy(view, cursor: int, grid, s: Settings, channels
     from ako_tpu.runtime.kagari import BLOCK_HEAD, kagari_sync
     from ako_tpu.runtime.transfer import device_put_parallel
 
+    total = len(grid)
     # sequential boundary walk (block sizes live in each head) ...
+    _fire(events, 0, total, Event.COMPRESSION_START, events_user)
     blocks = []
     for t in grid:
         tds, spacing = tile_block_sizes(t, s, channels)
@@ -647,6 +650,10 @@ def dispatch_tiles_device_entropy(view, cursor: int, grid, s: Settings, channels
     syncs = list(pool.map(scan, blocks)) if pool is not None else [
         scan(b) for b in blocks
     ]
+    # the shared walk+scan closes here; per-shape-group COMPRESSION
+    # pairs below cover each group's pack + upload + entropy dispatch
+    # (PARITY.md divergence 10: group granularity, not per tile)
+    _fire(events, 0, total, Event.COMPRESSION_END, events_user)
 
     per_shape: dict = {}
     host_tiles: list = []
@@ -678,6 +685,7 @@ def dispatch_tiles_device_entropy(view, cursor: int, grid, s: Settings, channels
 
     dispatched = []
     for (tw, th), items in per_shape.items():
+        _fire(events, items[0][0].index, total, Event.COMPRESSION_START, events_user)
         count = tile_block_sizes(items[0][0], s, channels)[0] // 2
         span = _bucket_span(
             max(
@@ -719,6 +727,7 @@ def dispatch_tiles_device_entropy(view, cursor: int, grid, s: Settings, channels
         pixels_dev = dfn(streams_dev)
         if use_transport:
             pixels_dev = transport.pack_pixels(pixels_dev, tw, th, channels)
+        _fire(events, items[0][0].index, total, Event.COMPRESSION_END, events_user)
         dispatched.append(([t for t, _, _ in items], th, tw, pixels_dev))
 
     # quirk tiles: exact host decode, standard device unlift
@@ -732,10 +741,12 @@ def dispatch_tiles_device_entropy(view, cursor: int, grid, s: Settings, channels
             raise AkoError(Status.BROKEN_INPUT)
         by_shape_host.setdefault((t.w, t.h), []).append((t, res[0]))
     for (tw, th), items in by_shape_host.items():
+        _fire(events, items[0][0].index, total, Event.COMPRESSION_START, events_user)
         batch = np.stack([v for _, v in items], axis=0)
         pixels_dev = _run_tile_decoder(batch, tw, th, channels, s, out_mode)
         if use_transport:
             pixels_dev = transport.pack_pixels(pixels_dev, tw, th, channels)
+        _fire(events, items[0][0].index, total, Event.COMPRESSION_END, events_user)
         dispatched.append(([t for t, _ in items], th, tw, pixels_dev))
     return dispatched
 
@@ -787,26 +798,25 @@ def decode(
     if device_entropy and s.compression == Compression.KAGARI:
         grid = geometry.tile_grid(image_w, image_h, s.tiles_dimension)
         total = len(grid)
-        # fused-path event granularity: per image, like the fused
-        # encode (PARITY.md known-divergences): COMPRESSION covers the
-        # host sync scan + upload + dispatch, WAVELET the device wait,
-        # FORMAT the pixel drain
+        # fused-path event granularity: per SHAPE GROUP (PARITY.md
+        # divergence 10): COMPRESSION covers the host sync scan +
+        # upload + dispatch (fired inside dispatch_tiles_device_entropy),
+        # WAVELET the device wait, FORMAT the pixel drain
         from ako_tpu.runtime.transfer import _get_pool
 
-        _fire(events, 0, total, Event.COMPRESSION_START, events_user)
         dispatched = dispatch_tiles_device_entropy(
-            view, cursor, grid, s, channels, _get_pool()
+            view, cursor, grid, s, channels, _get_pool(),
+            events=events, events_user=events_user,
         )
-        _fire(events, 0, total, Event.COMPRESSION_END, events_user)
         image = np.empty((image_h, image_w, channels), dtype=np.uint8)
-        _fire(events, 0, total, Event.WAVELET_START, events_user)
-        for _tiles, _th, _tw, pixels_dev in dispatched:
+        for tiles, _th, _tw, pixels_dev in dispatched:
+            _fire(events, tiles[0].index, total, Event.WAVELET_START, events_user)
             pixels_ready(pixels_dev)
-        _fire(events, 0, total, Event.WAVELET_END, events_user)
-        _fire(events, 0, total, Event.FORMAT_START, events_user)
+            _fire(events, tiles[0].index, total, Event.WAVELET_END, events_user)
         for tiles, th, tw, pixels_dev in dispatched:
+            _fire(events, tiles[0].index, total, Event.FORMAT_START, events_user)
             place_pixels(image, tiles, th, tw, pixels_dev)
-        _fire(events, 0, total, Event.FORMAT_END, events_user)
+            _fire(events, tiles[0].index, total, Event.FORMAT_END, events_user)
         return image, s, channels
 
     grid = geometry.tile_grid(image_w, image_h, s.tiles_dimension)

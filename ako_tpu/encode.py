@@ -227,13 +227,22 @@ def encode_tiles_device(
     return out
 
 
-def dispatch_tiles_fused(image: np.ndarray, s: Settings):
+def dispatch_tiles_fused(
+    image: np.ndarray, s: Settings, events=None, events_user=None
+):
     """Phase 1 of device-entropy encode: enqueue the fused
     format+lift+Kagari program for every tile-shape group. Returns an
     opaque list of dispatch records; JAX dispatch is asynchronous, so
-    the TPU starts immediately while the host moves on."""
+    the TPU starts immediately while the host moves on.
+
+    Events fire per shape group (tile_no = the group's first tile
+    index): FORMAT covers host staging + upload, WAVELET the program
+    dispatch. Shape groups are the fused path's dispatch unit, so this
+    is the finest granularity that doesn't serialize the pipeline
+    (PARITY.md divergence 10; reference fires per tile, ako.h:75-84)."""
     image_h, image_w, channels = image.shape
     grid = geometry.tile_grid(image_w, image_h, s.tiles_dimension)
+    total = len(grid)
 
     # Constant trailing channel (the alpha=255 norm for RGBA photos):
     # upload channels-1 planes and broadcast the constant on device —
@@ -266,6 +275,8 @@ def dispatch_tiles_fused(image: np.ndarray, s: Settings):
             s.chroma_loss,
             fill_val,
         )
+        t0 = tiles[0].index
+        _fire(events, t0, total, Event.FORMAT_START, events_user)
         up_ch = channels - 1 if fill_val is not None else channels
         batch = np.stack(
             [image[t.y : t.y + th, t.x : t.x + tw, :up_ch] for t in tiles], axis=0
@@ -277,6 +288,7 @@ def dispatch_tiles_fused(image: np.ndarray, s: Settings):
         )
         if tiles_dev is None:  # raw upload (default, or transport fallback)
             tiles_dev = device_put_parallel(batch)
+        _fire(events, t0, total, Event.FORMAT_END, events_user)
         # keep the coefficient stream handle: near-capacity tiles fall
         # back to the host coder on it instead of re-running the lift
         stream_dev = fwd(tiles_dev)
@@ -329,7 +341,10 @@ def _prepare_collect(totals_dev, comp_bytes, capacity: int, budget: int):
     return totals, fallback, groups, rows
 
 
-def collect_tiles_blocks(s: Settings, channels: int, grid, dispatched, residue=None):
+def collect_tiles_blocks(
+    s: Settings, channels: int, grid, dispatched, residue=None,
+    events=None, events_user=None,
+):
     """Phase 2: fetch compressed bytes (one bulk transfer per shape
     group) and frame the per-tile blocks; near-capacity tiles fall back
     to the host coder so the reference's exact bounds checks decide.
@@ -345,8 +360,15 @@ def collect_tiles_blocks(s: Settings, channels: int, grid, dispatched, residue=N
     import zlib
 
     out: list[Optional[bytes]] = [None] * len(grid)
+    total = len(grid)
     for tiles, stream_dev, comp_bytes, prep_fut, capacity, budget in dispatched:
+        # the totals future resolves when the group's device program
+        # (format+lift+pack, dispatched asynchronously) has run: that
+        # wait is the wavelet stage's observable cost on this path
+        _fire(events, tiles[0].index, total, Event.WAVELET_START, events_user)
         totals, fallback, groups, rows = prep_fut.result()
+        _fire(events, tiles[0].index, total, Event.WAVELET_END, events_user)
+        _fire(events, tiles[0].index, total, Event.COMPRESSION_START, events_user)
         rec = None
         if residue is not None:
             rec = {
@@ -383,6 +405,7 @@ def collect_tiles_blocks(s: Settings, channels: int, grid, dispatched, residue=N
                 if block is None:
                     raise AkoError(Status.ERROR, "incompressible tile")
                 out[tiles[i].index] = block
+        _fire(events, tiles[0].index, total, Event.COMPRESSION_END, events_user)
     return out
 
 
@@ -402,24 +425,15 @@ def encode_tiles_blocks(
     """Device-entropy encode: fused format+lift+Kagari on device,
     returning framed per-tile blocks in tile order. Only compressed
     bytes cross the device->host link."""
-    grid = geometry.tile_grid(image.shape[1], image.shape[0], s.tiles_dimension)
-    total = len(grid)
-    # Event granularity note (PARITY.md): the fused path runs all
-    # tiles in batched async programs, so events fire once per image
-    # rather than per tile — FORMAT covers host staging + upload +
-    # dispatch, WAVELET the device wait (first sync point), and
-    # COMPRESSION the compressed-byte drain + framing.
-    _fire(events, 0, total, Event.FORMAT_START, events_user)
-    grid, channels, dispatched = dispatch_tiles_fused(image, s)
-    _fire(events, 0, total, Event.FORMAT_END, events_user)
-    _fire(events, 0, total, Event.WAVELET_START, events_user)
-    for rec in dispatched:
-        rec[3].result()  # totals fetch = wait for device compute
-    _fire(events, 0, total, Event.WAVELET_END, events_user)
-    _fire(events, 0, total, Event.COMPRESSION_START, events_user)
-    out = collect_tiles_blocks(s, channels, grid, dispatched)
-    _fire(events, 0, total, Event.COMPRESSION_END, events_user)
-    return out
+    # Event granularity note (PARITY.md divergence 10): the fused path
+    # runs tiles in batched async programs, so events fire per SHAPE
+    # GROUP (tile_no = the group's first tile index) rather than per
+    # tile — FORMAT covers host staging + upload, WAVELET the program
+    # dispatch, COMPRESSION the compressed-byte drain + framing.
+    grid, channels, dispatched = dispatch_tiles_fused(image, s, events, events_user)
+    return collect_tiles_blocks(
+        s, channels, grid, dispatched, events=events, events_user=events_user
+    )
 
 
 @traced
