@@ -10,14 +10,20 @@ is efficient by construction — the measurement validates the plumbing
 overhead (coordinator bring-up excluded; only the steady-state stream
 is timed in-process).
 
-Usage: python devbench/scaling_multihost.py [max_procs]
+Usage: python devbench/scaling_multihost.py [max_procs] [--json OUT]
+  --json writes the measurement record (per-N aggregate MP/s and
+  efficiency vs the core-pinned 1-process baseline) as one JSON
+  object — the committed SCALING.json artifact backing PARITY.md's
+  efficiency claim (BASELINE's >=0.9 target, SURVEY.md §6).
 """
+import json
 import os
 import pickle
 import socket
 import subprocess
 import sys
 import tempfile
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -98,16 +104,42 @@ def run(nproc: int, per_cores: int) -> float:
 
 
 def main() -> int:
-    max_procs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    json_out = None
+    if "--json" in sys.argv:
+        json_out = sys.argv[sys.argv.index("--json") + 1]
+        args = [a for a in args if a != json_out]
+    max_procs = int(args[0]) if args else 2
     per_cores = max(1, (os.cpu_count() or 1) // max_procs)
     base = run(1, per_cores)
     print(f"1 proc ({per_cores} cores): {base:.2f} MP/s")
+    record = {
+        "metric": "multihost weak-scaling efficiency (jax.distributed, core-pinned)",
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "cores_per_process": per_cores,
+        "per_process_images": 6,
+        "baseline_1proc_mps": round(base, 3),
+        "points": [],
+    }
     n = 2
     while n <= max_procs:
         mps = run(n, per_cores)
         eff = mps / (base * n)
         print(f"{n} procs: {mps:.2f} MP/s aggregate, efficiency {eff:.2f}")
+        record["points"].append(
+            {"processes": n, "aggregate_mps": round(mps, 3), "efficiency": round(eff, 3)}
+        )
         n *= 2
+    if json_out:
+        record["target_efficiency"] = 0.9
+        record["meets_target"] = all(
+            p["efficiency"] >= 0.9 for p in record["points"]
+        )
+        with open(json_out, "w") as f:
+            json.dump(record, f, indent=1)
+        print(f"wrote {json_out}")
+        if not record["meets_target"]:
+            return 1
     return 0
 
 

@@ -37,11 +37,26 @@ def _env(transport="0", enctr="", decode="device"):
 
 
 @pytest.fixture(autouse=True)
-def _clean_env(monkeypatch):
-    monkeypatch.delenv("AKO_BENCH_MODE", raising=False)
-    monkeypatch.delenv("AKO_TPU_TRANSPORT", raising=False)
-    monkeypatch.delenv("AKO_TPU_TRANSPORT_ENC", raising=False)
-    monkeypatch.delenv("AKO_TPU_DECODE", raising=False)
+def _clean_env():
+    # explicit snapshot/restore rather than monkeypatch.delenv:
+    # bench._run_candidate writes os.environ DIRECTLY during the test,
+    # and monkeypatch does not track keys that were absent beforehand,
+    # so those writes would leak into later tests in the same worker
+    # (observed: a leaked AKO_TPU_DECODE=host flipped test_events onto
+    # the host-decode path)
+    keys = [
+        "AKO_BENCH_MODE",
+        "AKO_TPU_TRANSPORT",
+        "AKO_TPU_TRANSPORT_ENC",
+        "AKO_TPU_DECODE",
+    ]
+    saved = {k: os.environ.pop(k, None) for k in keys}
+    yield
+    for k, v in saved.items():
+        if v is None:
+            os.environ.pop(k, None)
+        else:
+            os.environ[k] = v
 
 
 def test_candidates_unpinned_races_all_six():

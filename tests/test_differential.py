@@ -205,3 +205,39 @@ class Test5x5SpillQuirk:
         np.testing.assert_array_equal(got, img)
         ref_got = np.asarray(oracle.ref_decode(ref_blob)[0]).reshape(img.shape)
         assert not np.array_equal(ref_got, img)
+
+
+def test_no_lift_border_tiles():
+    """PARITY.md divergence 11, pinned deterministically: width-1
+    remainder tiles never lift, the reference encoder serializes them
+    with the lifted-layout stride (reading the planes-spacing gap's
+    stale bytes) and fails on this image, while its own decoder reads
+    the lowpass contiguously. Our contract: deterministic correct
+    encode, bit-identical pixels from BOTH decoders, and a lossless
+    q=0 round-trip through the same tiles. Found by the round-3 TPU
+    e2e matrix (tpu_tests/test_e2e_tpu.py runs the same case on
+    hardware)."""
+    rng = np.random.default_rng(1234)
+    y, x = np.mgrid[0:50, 0:65].astype(np.float32)
+    base = 120 + 60 * np.sin(x / 19.0) + 50 * np.cos(y / 13.0)
+    img = np.stack(
+        [np.clip(base * (0.6 + 0.15 * c), 0, 255) for c in range(4)], axis=-1
+    )
+    img += rng.normal(0, 2.0, size=img.shape)
+    img = np.clip(img, 0, 255).astype(np.uint8)
+
+    s = Settings(quantization=16, tiles_dimension=32)
+    assert oracle.ref_encode(img, s) is None  # the reference fails
+
+    ours = ako_tpu.encode(img, s, device_entropy=False)
+    assert ours == ako_tpu.encode(img, s, device_entropy=True)
+    got = ako_tpu.decode(ours, device_entropy=False)[0]
+    ref_dec = oracle.ref_decode(ours)
+    assert ref_dec is not None
+    np.testing.assert_array_equal(np.asarray(ref_dec[0]).reshape(got.shape), got)
+
+    s0 = Settings(quantization=0, tiles_dimension=32)
+    lossless = ako_tpu.encode(img, s0, device_entropy=False)
+    np.testing.assert_array_equal(
+        ako_tpu.decode(lossless, device_entropy=False)[0], img
+    )

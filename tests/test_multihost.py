@@ -33,7 +33,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.parametrize("nproc", [2])
+@pytest.mark.parametrize("nproc", [2, 4])
 def test_multiprocess_pipeline(nproc, tmp_path):
     port = _free_port()
     coord = f"127.0.0.1:{port}"
