@@ -103,6 +103,16 @@ def run(nproc: int, per_cores: int) -> float:
     return total_mp / wall
 
 
+#: repetitions per point, interleaved across N; best-of wins. Wall
+#: time is max-over-processes, so a single OS-jitter stall in any one
+#: process drags the whole point — best-of-REPS reads through it.
+REPS = 3
+
+
+def run_best(nproc: int, per_cores: int) -> float:
+    return max(run(nproc, per_cores) for _ in range(REPS))
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     json_out = None
@@ -111,19 +121,20 @@ def main() -> int:
         args = [a for a in args if a != json_out]
     max_procs = int(args[0]) if args else 2
     per_cores = max(1, (os.cpu_count() or 1) // max_procs)
-    base = run(1, per_cores)
+    base = run_best(1, per_cores)
     print(f"1 proc ({per_cores} cores): {base:.2f} MP/s")
     record = {
         "metric": "multihost weak-scaling efficiency (jax.distributed, core-pinned)",
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "cores_per_process": per_cores,
         "per_process_images": 6,
+        "reps_best_of": REPS,
         "baseline_1proc_mps": round(base, 3),
         "points": [],
     }
     n = 2
     while n <= max_procs:
-        mps = run(n, per_cores)
+        mps = run_best(n, per_cores)
         eff = mps / (base * n)
         print(f"{n} procs: {mps:.2f} MP/s aggregate, efficiency {eff:.2f}")
         record["points"].append(
