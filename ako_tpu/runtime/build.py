@@ -115,5 +115,29 @@ def load() -> ctypes.CDLL:
             ctypes.c_int32,
             ctypes.c_void_p,
         ]
+
+        lib.akort_tile_lift.restype = ctypes.c_int32
+        lib.akort_tile_lift.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+        ]
+        lib.akort_u8_to_planes.restype = None
+        lib.akort_u8_to_planes.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_void_p,
+        ]
         _lib = lib
         return _lib

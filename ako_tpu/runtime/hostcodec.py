@@ -84,3 +84,78 @@ def tile_decode_pixels(
     return planes_to_u8(
         tile_unlift(values, tile_w, tile_h, channels, wavelet, wrap), color
     )
+
+
+def u8_to_planes(
+    tile_u8: np.ndarray, color: Color, discard_non_visible: bool
+) -> np.ndarray:
+    """Interleaved u8 (h, w, channels) -> planar int16 with the forward
+    color transform (semantics of ops/colorspace.py:to_planar_yuv)."""
+    lib = load()
+    tile_u8 = np.ascontiguousarray(tile_u8, dtype=np.uint8)
+    h, w, channels = tile_u8.shape
+    out = np.empty((channels, h, w), dtype=np.int16)
+    lib.akort_u8_to_planes(
+        tile_u8.ctypes.data,
+        w,
+        h,
+        channels,
+        int(color),
+        1 if discard_non_visible else 0,
+        out.ctypes.data,
+    )
+    return out
+
+
+def tile_lift(
+    planes: np.ndarray,
+    wavelet: Wavelet,
+    wrap: Wrap,
+    qg,
+) -> np.ndarray:
+    """Planar int16 (channels, th, tw) -> serialized coefficient
+    stream, the forward twin of tile_unlift. `qg` is level_qg's output
+    (per encode-order level: (per-channel qs, per-channel gs))."""
+    from ako_tpu.core import geometry
+
+    lib = load()
+    planes = np.ascontiguousarray(planes, dtype=np.int16)
+    channels, th, tw = planes.shape
+    count = geometry.tile_data_size(tw, th) * channels // 2
+    out = np.empty(count, dtype=np.int16)
+    qs = np.ascontiguousarray(
+        [q for level_qs, _ in qg for q in level_qs], dtype=np.int32
+    )
+    gs = np.ascontiguousarray(
+        [g for _, level_gs in qg for g in level_gs], dtype=np.int32
+    )
+    rc = lib.akort_tile_lift(
+        planes.ctypes.data,
+        tw,
+        th,
+        channels,
+        int(wavelet),
+        int(wrap),
+        qs.ctypes.data if qs.size else None,
+        gs.ctypes.data if gs.size else None,
+        out.ctypes.data,
+        out.size,
+    )
+    if rc != 0:
+        raise AkoError(Status.ERROR, f"native tile lift failed (rc={rc})")
+    return out
+
+
+def tile_encode_stream(
+    tile_u8: np.ndarray,
+    wavelet: Wavelet,
+    wrap: Wrap,
+    color: Color,
+    qg,
+    discard_non_visible: bool = False,
+) -> np.ndarray:
+    """Interleaved u8 tile -> serialized coefficient stream, all
+    native (format + lift). The transport packer's fast path."""
+    return tile_lift(
+        u8_to_planes(tile_u8, color, discard_non_visible), wavelet, wrap, qg
+    )

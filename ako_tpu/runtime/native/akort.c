@@ -889,3 +889,311 @@ API void akort_planes_to_u8(const int16_t *planes, int32_t w, int32_t h,
 		}
 	}
 }
+
+/* ------------------------------------------------------------------ */
+/* Native forward lift + forward pixel format: the transport packer's  */
+/* twin of the unlift above. Semantics: ops/wavelets.py               */
+/* lift_core/lift2d, ops/lifting.py forward_tile (fused gate+quantize  */
+/* at the highpass store, library/lifting.c:154-168) and               */
+/* ops/colorspace.py to_planar_yuv (format.c:64-133). Used by          */
+/* runtime/transport.py's encode-side pack (host q0 re-encode of the   */
+/* pixel upload) so the pack runs at native speed instead of a         */
+/* CPU-XLA forward program. NOT a production encode path — the codec's */
+/* encode compute engine is the TPU.                                   */
+
+/* Forward 1-D pair: hp from (odd, even-neighborhood) first, then lp
+   from (even, hp-neighborhood). Contiguous (H pass). */
+static void lift_pair_1d(int wavelet, int wrap, const int16_t *ev,
+                         const int16_t *od, int n, int16_t *lp, int16_t *hp)
+{
+	if (wavelet == W_HAAR) {
+		for (int i = 0; i < n; i++) {
+			lp[i] = ev[i];
+			hp[i] = (int16_t)((int32_t)od[i] - (int32_t)ev[i]);
+		}
+		return;
+	}
+	if (wavelet == W_CDF53) {
+		for (int i = 0; i < n; i++)
+			hp[i] = (int16_t)((int32_t)od[i] -
+			                  ((int32_t)ev[i] + tap_p1(ev, n, i, wrap)) / 2);
+		for (int i = 0; i < n; i++)
+			lp[i] = (int16_t)((int32_t)ev[i] +
+			                  (tap_m1(hp, n, i, wrap) + (int32_t)hp[i]) / 4);
+		return;
+	}
+	for (int i = 0; i < n; i++)
+		hp[i] = (int16_t)((int32_t)od[i] +
+		                  (tap_m1(ev, n, i, wrap) + tap_p2(ev, n, i, wrap) -
+		                   9 * ((int32_t)ev[i] + tap_p1(ev, n, i, wrap))) /
+		                      16);
+	for (int i = 0; i < n; i++)
+		lp[i] = (int16_t)((int32_t)ev[i] +
+		                  (-tap_m2(hp, n, i, wrap) - tap_p1(hp, n, i, wrap) +
+		                   9 * (tap_m1(hp, n, i, wrap) + (int32_t)hp[i])) /
+		                      32);
+}
+
+/* Forward V pair over row-split even/odd halves (each th x tw). */
+static void lift_pair_v(int wavelet, int wrap, const int16_t *ev,
+                        const int16_t *od, int th, int tw, int16_t *lp,
+                        int16_t *hp, const int16_t *zrow)
+{
+	if (wavelet == W_HAAR) {
+		for (int i = 0; i < th; i++)
+			for (int j = 0; j < tw; j++) {
+				lp[(size_t)i * tw + j] = ev[(size_t)i * tw + j];
+				hp[(size_t)i * tw + j] =
+				    (int16_t)((int32_t)od[(size_t)i * tw + j] -
+				              (int32_t)ev[(size_t)i * tw + j]);
+			}
+		return;
+	}
+	if (wavelet == W_CDF53) {
+		for (int i = 0; i < th; i++) {
+			const int16_t *e0 = ev + (size_t)i * tw;
+			const int16_t *ep = vrow_p1(ev, th, tw, i, wrap, zrow);
+			const int16_t *o0 = od + (size_t)i * tw;
+			int16_t *hrow = hp + (size_t)i * tw;
+			for (int j = 0; j < tw; j++)
+				hrow[j] = (int16_t)((int32_t)o0[j] -
+				                    ((int32_t)e0[j] + (int32_t)ep[j]) / 2);
+		}
+		for (int i = 0; i < th; i++) {
+			const int16_t *e0 = ev + (size_t)i * tw;
+			const int16_t *h0 = hp + (size_t)i * tw;
+			const int16_t *hm = vrow_m1(hp, th, tw, i, wrap, zrow);
+			int16_t *lrow = lp + (size_t)i * tw;
+			for (int j = 0; j < tw; j++)
+				lrow[j] = (int16_t)((int32_t)e0[j] +
+				                    ((int32_t)hm[j] + (int32_t)h0[j]) / 4);
+		}
+		return;
+	}
+	for (int i = 0; i < th; i++) {
+		const int16_t *e0 = ev + (size_t)i * tw;
+		const int16_t *em1 = vrow_m1(ev, th, tw, i, wrap, zrow);
+		const int16_t *ep1 = vrow_p1(ev, th, tw, i, wrap, zrow);
+		const int16_t *ep2 = vrow_p2(ev, th, tw, i, wrap, zrow);
+		const int16_t *o0 = od + (size_t)i * tw;
+		int16_t *hrow = hp + (size_t)i * tw;
+		for (int j = 0; j < tw; j++)
+			hrow[j] = (int16_t)((int32_t)o0[j] +
+			                    ((int32_t)em1[j] + (int32_t)ep2[j] -
+			                     9 * ((int32_t)e0[j] + (int32_t)ep1[j])) /
+			                        16);
+	}
+	for (int i = 0; i < th; i++) {
+		const int16_t *e0 = ev + (size_t)i * tw;
+		const int16_t *h0 = hp + (size_t)i * tw;
+		const int16_t *hm1 = vrow_m1(hp, th, tw, i, wrap, zrow);
+		const int16_t *hp1 = vrow_p1(hp, th, tw, i, wrap, zrow);
+		const int16_t *hm2 = vrow_m2(hp, th, tw, i, wrap, zrow);
+		int16_t *lrow = lp + (size_t)i * tw;
+		for (int j = 0; j < tw; j++)
+			lrow[j] = (int16_t)((int32_t)e0[j] +
+			                    (-(int32_t)hm2[j] - (int32_t)hp1[j] +
+			                     9 * ((int32_t)hm1[j] + (int32_t)h0[j])) /
+			                        32);
+	}
+}
+
+/* Fused dead-zone gate + truncating quantization at the highpass
+   store (lifting.c:154-168): |x| <= g zeroes, else trunc(x/max(q,1)). */
+static void gate_quant(const int16_t *src, size_t n, int32_t q, int32_t g,
+                       int16_t *dst)
+{
+	const int32_t qd = q < 1 ? 1 : q;
+	for (size_t t = 0; t < n; t++) {
+		const int32_t x = src[t];
+		dst[t] = (x < -g || x > g) ? (int16_t)(x / qd) : 0;
+	}
+}
+
+/*
+Full forward tile lift: planar int16 (channels x tile_h x tile_w) ->
+serialized stream (the exact wire layout akort_tile_unlift consumes).
+qs/gs: per-(level, channel) quantization/gate in ENCODE level order
+(largest level first, channel-minor) — level_qg's layout flattened
+(ops/quantization.py). Returns 0, -1 on bad args/size mismatch, -2 on
+allocation failure.
+*/
+API int32_t akort_tile_lift(const int16_t *planes, int32_t tile_w,
+                            int32_t tile_h, int32_t channels, int32_t wavelet,
+                            int32_t wrap, const int32_t *qs, const int32_t *gs,
+                            int16_t *stream_out, size_t stream_elems)
+{
+	int32_t cur_w[40], cur_h[40], tgt_w[40], tgt_h[40];
+	int n_lvl = 0;
+	int32_t w = tile_w, h = tile_h;
+
+	if (tile_w < 1 || tile_h < 1 || channels < 1 || planes == NULL ||
+	    stream_out == NULL)
+		return -1;
+
+	while (w > 2 && h > 2 && n_lvl < 40) {
+		cur_w[n_lvl] = w;
+		cur_h[n_lvl] = h;
+		w = half_plus_one(w);
+		h = half_plus_one(h);
+		tgt_w[n_lvl] = w;
+		tgt_h[n_lvl] = h;
+		n_lvl++;
+	}
+	const size_t lp_n = (size_t)w * h;
+	const size_t area = (size_t)tile_w * tile_h;
+
+	if (wavelet == W_NONE || n_lvl == 0) {
+		if (stream_elems != area * (size_t)channels)
+			return -1;
+		memcpy(stream_out, planes, (size_t)channels * area * 2);
+		return 0;
+	}
+
+	size_t expect = lp_n;
+	for (int k = 0; k < n_lvl; k++)
+		expect += 1 + 3 * (size_t)tgt_w[k] * tgt_h[k];
+	if (stream_elems != expect * (size_t)channels)
+		return -1;
+
+	/* serialized chunk bases: smallest level (k = n_lvl-1) first */
+	size_t base[40];
+	size_t off = lp_n * (size_t)channels;
+	for (int k = n_lvl - 1; k >= 0; k--) {
+		base[k] = off;
+		off += (size_t)channels * (1 + 3 * (size_t)tgt_w[k] * tgt_h[k]);
+	}
+
+	/* buffers, all at level-0 (largest) sizes:
+	   cur  : current plane + one fake row
+	   lp_h, hp_h : H-pass halves, (2*th x tw) each
+	   ev_v, od_v : V-pass row splits, (th x tw) each
+	   ll, qq     : V-pass outputs, (th x tw) each
+	   rowev/rowod/zrow : (tw) each */
+	const size_t qa = (size_t)tgt_w[0] * tgt_h[0];
+	const size_t cur_cap = area + (size_t)tile_w;
+	int16_t *mem = (int16_t *)calloc(cur_cap + 8 * qa + 3 * (size_t)tgt_w[0], 2);
+	if (mem == NULL)
+		return -2;
+	int16_t *cur = mem;
+	int16_t *lp_h = cur + cur_cap;
+	int16_t *hp_h = lp_h + 2 * qa;
+	int16_t *ev_v = hp_h + 2 * qa;
+	int16_t *od_v = ev_v + qa;
+	int16_t *ll = od_v + qa;
+	int16_t *qq = ll + qa;
+	int16_t *rowev = qq + qa;
+	int16_t *rowod = rowev + tgt_w[0];
+	int16_t *zrow = rowod + tgt_w[0]; /* calloc-zeroed; re-zeroed per level */
+
+	for (int ch = 0; ch < channels; ch++) {
+		memcpy(cur, planes + (size_t)ch * area, area * 2);
+		for (int k = 0; k < n_lvl; k++) {
+			const int cw = cur_w[k], chh = cur_h[k];
+			const int tw = tgt_w[k], th = tgt_h[k];
+			const size_t n = (size_t)tw * th;
+			const int fake_col = 2 * tw - cw;
+			const int fake_row = 2 * th - chh;
+			const int weff = eff_wavelet(wavelet, tw, th);
+			const int32_t q = qs[(size_t)k * channels + ch];
+			const int32_t g = gs[(size_t)k * channels + ch];
+			int16_t *chunk = stream_out + base[k] + (size_t)ch * (1 + 3 * n);
+
+			if (fake_row) /* duplicate the last row (lifting.c:46-47) */
+				memcpy(cur + (size_t)chh * cw, cur + (size_t)(chh - 1) * cw,
+				       (size_t)cw * 2);
+
+			/* H pass per row: strided even/odd split; odd width gets a
+			   fake trailing odd equal to the last even */
+			for (int i = 0; i < 2 * th; i++) {
+				const int16_t *row = cur + (size_t)i * cw;
+				for (int j = 0; j < tw; j++)
+					rowev[j] = row[2 * j];
+				for (int j = 0; j < tw - fake_col; j++)
+					rowod[j] = row[2 * j + 1];
+				if (fake_col)
+					rowod[tw - 1] = rowev[tw - 1];
+				lift_pair_1d(weff, wrap, rowev, rowod, tw,
+				             lp_h + (size_t)i * tw, hp_h + (size_t)i * tw);
+			}
+
+			memset(zrow, 0, (size_t)tw * 2);
+
+			/* V pass on the lowpass half -> LL (next level) + C */
+			for (int i = 0; i < th; i++) {
+				memcpy(ev_v + (size_t)i * tw, lp_h + (size_t)(2 * i) * tw,
+				       (size_t)tw * 2);
+				memcpy(od_v + (size_t)i * tw, lp_h + (size_t)(2 * i + 1) * tw,
+				       (size_t)tw * 2);
+			}
+			lift_pair_v(weff, wrap, ev_v, od_v, th, tw, ll, qq, zrow);
+			chunk[0] = (int16_t)q;
+			gate_quant(qq, n, q, g, chunk + 1); /* C (vertical detail) */
+
+			/* V pass on the highpass half -> B + D */
+			for (int i = 0; i < th; i++) {
+				memcpy(ev_v + (size_t)i * tw, hp_h + (size_t)(2 * i) * tw,
+				       (size_t)tw * 2);
+				memcpy(od_v + (size_t)i * tw, hp_h + (size_t)(2 * i + 1) * tw,
+				       (size_t)tw * 2);
+			}
+			lift_pair_v(weff, wrap, ev_v, od_v, th, tw, lp_h, qq, zrow);
+			gate_quant(lp_h, n, q, g, chunk + 1 + n);      /* B */
+			gate_quant(qq, n, q, g, chunk + 1 + 2 * n);    /* D */
+
+			memcpy(cur, ll, n * 2); /* LL becomes the next level's input */
+		}
+		memcpy(stream_out + (size_t)ch * lp_n, cur, lp_n * 2);
+	}
+	free(mem);
+	return 0;
+}
+
+/*
+Forward pixel format: interleaved u8 (h x w x channels) -> planar
+int16 (channels x h x w) with optional discard-non-visible and the
+forward color transform (ops/colorspace.py:to_planar_yuv,
+format.c:64-133).
+*/
+API void akort_u8_to_planes(const uint8_t *ileaved, int32_t w, int32_t h,
+                            int32_t channels, int32_t color, int32_t discard,
+                            int16_t *planes_out)
+{
+	const size_t area = (size_t)w * h;
+	const int do_color =
+	    channels >= 3 &&
+	    (color == CL_YCOCG || color == CL_YCOCG_Q || color == CL_SUBG);
+	const int do_discard = discard && (channels == 2 || channels == 4);
+
+	for (size_t p = 0; p < area; p++) {
+		const uint8_t *px = ileaved + p * (size_t)channels;
+		if (do_discard && px[channels - 1] == 0) {
+			for (int32_t c = 0; c + 1 < channels; c++)
+				planes_out[(size_t)c * area + p] = 0;
+			planes_out[(size_t)(channels - 1) * area + p] = 0;
+		} else {
+			for (int32_t c = 0; c < channels; c++)
+				planes_out[(size_t)c * area + p] = px[c];
+		}
+		if (do_color) {
+			const int32_t r = planes_out[p];
+			const int32_t g = planes_out[area + p];
+			const int32_t b = planes_out[2 * area + p];
+			if (color == CL_SUBG) {
+				planes_out[p] = (int16_t)g;
+				planes_out[area + p] = (int16_t)(r - g);
+				planes_out[2 * area + p] = (int16_t)(b - g);
+			} else {
+				const int32_t co = (int16_t)(r - b);
+				const int32_t tmp = (int16_t)(b + co / 2);
+				const int32_t cg = (int16_t)(g - tmp);
+				int32_t y = (int16_t)(tmp + cg / 2);
+				if (color == CL_YCOCG_Q)
+					y = (int16_t)(y * 2);
+				planes_out[p] = (int16_t)y;
+				planes_out[area + p] = (int16_t)co;
+				planes_out[2 * area + p] = (int16_t)cg;
+			}
+		}
+	}
+}

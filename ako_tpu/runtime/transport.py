@@ -87,8 +87,9 @@ def enabled() -> bool:
 
 def enc_enabled() -> bool:
     """Encode-side transport (pixel UPLOAD packed on host, unpacked on
-    device); requires a host CPU backend for the pack."""
-    return _dir_enabled("AKO_TPU_TRANSPORT_ENC") and _cpu_device() is not None
+    device). The pack is fully native (runtime/hostcodec.py) so no
+    host CPU-XLA backend is required."""
+    return _dir_enabled("AKO_TPU_TRANSPORT_ENC")
 
 
 class TransportOut:
@@ -197,25 +198,30 @@ def upload_tiles_packed(batch: np.ndarray):
     No reference counterpart (single address space); the q0 round-trip
     exactness this relies on is the codec's own lossless contract,
     asserted blob-for-blob in tests/test_transport.py."""
+    from ako_tpu.core import geometry as _geo
     from ako_tpu.decode import (
         _bucket_span,
         _entropy_decode_fn,
         _pack_entropy_upload,
         _tile_decoder,
     )
-    from ako_tpu.encode import _fetch_pool, _tile_encoder
+    from ako_tpu.encode import _fetch_pool
     from ako_tpu.ops.kagari_device import DECODE_BLOCK, decode_span_words
+    from ako_tpu.ops.quantization import level_qg
+    from ako_tpu.runtime.hostcodec import tile_encode_stream
     from ako_tpu.runtime.kagari import kagari_encode, kagari_sync
     from ako_tpu.runtime.transfer import device_put_parallel
 
     T, th, tw, channels = batch.shape
     tds = geometry.tile_data_size(tw, th) * channels
     spacing = geometry.planes_spacing(tw, th)
+    qg = level_qg(_geo.lift_schedule(tw, th), channels, 0, 0, 1)
 
-    fwd = _tile_encoder(tw, th, channels, _WAVELET, _WRAP, _COLOR, False, 0, 0, 1)
-    streams = np.asarray(fwd(jax.device_put(batch, _cpu_device())))
-
-    def pack_one(v):
+    def pack_one(tile_u8):
+        # all native (format + lift + entropy + sync scan; the round-2
+        # CPU-XLA forward program cost ~100-130 ms/img across all
+        # cores), GIL released throughout -> clean pool fan-out
+        v = tile_encode_stream(tile_u8, _WAVELET, _WRAP, _COLOR, qg)
         p = kagari_encode(v, tds)
         if p is None:  # q0-incompressible (non-photographic content)
             return None
@@ -224,7 +230,7 @@ def upload_tiles_packed(batch: np.ndarray):
             return None
         return p, sy
 
-    packed = list(_fetch_pool().map(pack_one, streams))
+    packed = list(_fetch_pool().map(pack_one, batch))
     if any(p is None for p in packed):
         return None
 

@@ -205,3 +205,57 @@ class TestHostDecodePipeline:
         (pix,) = list(PipelineDecoder().decode_iter(blobs))
         ref = oracle.ref_decode(blobs[0])[0]
         assert np.array_equal(pix, ref)
+
+
+class TestNativeForwardParity:
+    """The native forward (format + lift) must reproduce the Python/
+    XLA forward ops bit-for-bit — it packs the encode-side transport
+    upload, whose device unpack runs the real entropy decoder + unlift
+    on the resulting stream."""
+
+    @pytest.mark.parametrize("wavelet", [Wavelet.DD137, Wavelet.CDF53, Wavelet.HAAR])
+    @pytest.mark.parametrize("wrap", [Wrap.CLAMP, Wrap.MIRROR, Wrap.REPEAT, Wrap.ZERO])
+    def test_forward_matrix(self, rng, wavelet, wrap):
+        self._case(rng, 33, 47, wavelet, wrap, 16, 4, Color.YCOCG_Q)
+
+    @pytest.mark.parametrize(
+        "tw,th,q,ch,color",
+        [
+            (64, 64, 0, 4, Color.YCOCG),
+            (8, 8, 16, 3, Color.SUBTRACT_G),
+            (3, 5, 0, 1, Color.NONE),
+            (17, 9, 32, 2, Color.NONE),
+            (40, 24, 0, 3, Color.YCOCG),
+            (5, 128, 16, 4, Color.YCOCG_Q),
+        ],
+    )
+    def test_forward_shapes(self, rng, tw, th, q, ch, color):
+        self._case(rng, tw, th, Wavelet.DD137, Wrap.CLAMP, q, ch, color)
+
+    def test_discard_non_visible(self, rng):
+        import jax.numpy as jnp
+
+        tile = rng.integers(0, 256, size=(24, 40, 4), dtype=np.uint8)
+        tile[::3, ::2, 3] = 0  # scattered invisible pixels
+        ref = np.asarray(to_planar_yuv(jnp.asarray(tile), Color.YCOCG, True))
+        got = hostcodec.u8_to_planes(tile, Color.YCOCG, True)
+        assert np.array_equal(got, ref)
+
+    def test_gate(self, rng):
+        self._case(rng, 32, 32, Wavelet.CDF53, Wrap.CLAMP, 16, 3,
+                   Color.YCOCG_Q, gate=24)
+
+    def _case(self, rng, tw, th, wavelet, wrap, q, ch, color, gate=0):
+        import jax.numpy as jnp
+
+        tile = rng.integers(0, 256, size=(th, tw, ch), dtype=np.uint8)
+        sched = geometry.lift_schedule(tw, th)
+        qg = level_qg(sched, ch, q, gate, 1)
+        ref_planes = np.asarray(to_planar_yuv(jnp.asarray(tile), color, False))
+        ref_stream = np.asarray(
+            forward_tile(jnp.asarray(ref_planes), sched, wavelet, wrap, qg)
+        )
+        got_planes = hostcodec.u8_to_planes(tile, color, False)
+        assert np.array_equal(got_planes, ref_planes)
+        got_stream = hostcodec.tile_lift(got_planes, wavelet, wrap, qg)
+        assert np.array_equal(got_stream, ref_stream)
