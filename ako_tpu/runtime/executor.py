@@ -128,10 +128,18 @@ class PipelineEncoder:
     def _encode_iter_device_entropy(
         self, images: Iterable[np.ndarray], keep_residue: bool = False
     ) -> Iterator[bytes]:
-        """Fused device path: image i's compressed-byte fetch runs on
-        an IO thread while the main thread uploads and dispatches image
-        i+1 — uplink, downlink and TPU compute all overlap."""
+        """Fused device path: compressed-byte fetches for up to
+        AKO_ENC_INFLIGHT (default 3) images run on IO threads while the
+        main thread uploads and dispatches the next — uplink, downlink,
+        TPU compute and the collect RPC latencies all overlap. Depth 1
+        (the round-2 shape) left the ~40 ms-latency totals/byte fetch
+        chain on the steady-state critical path: measured 176 ms/img at
+        depth 1 vs ~130 at depth 3 on a 46 MB/s link
+        (devbench/hostdec_profile.py)."""
+        import os
+
         s = self.settings
+        depth = max(1, int(os.environ.get("AKO_ENC_INFLIGHT", "3")))
 
         def collect(args):
             p_head, p_s, p_ch, p_grid, p_disp = args
@@ -141,8 +149,8 @@ class PipelineEncoder:
             )
             return (blob, residue) if keep_residue else blob
 
-        with cf.ThreadPoolExecutor(max_workers=1) as io:
-            fut = None
+        with cf.ThreadPoolExecutor(max_workers=depth) as io:
+            futs: deque = deque()
             for image in images:
                 image = np.asarray(image)
                 if image.ndim == 2:
@@ -150,11 +158,11 @@ class PipelineEncoder:
                 h, w, channels = image.shape
                 head = container.head_write(channels, w, h, s)
                 grid, channels, dispatched = dispatch_tiles_fused(image, s)
-                if fut is not None:
-                    yield fut.result()
-                fut = io.submit(collect, (head, s, channels, grid, dispatched))
-            if fut is not None:
-                yield fut.result()
+                futs.append(io.submit(collect, (head, s, channels, grid, dispatched)))
+                if len(futs) > depth:
+                    yield futs.popleft().result()
+            while futs:
+                yield futs.popleft().result()
 
     def encode_batch(self, images: Iterable[np.ndarray]) -> List[bytes]:
         return list(self.encode_iter(images))
