@@ -307,7 +307,7 @@ def read_tile_stream(view, cursor: int, t, s: Settings, channels: int):
     if s.compression != Compression.NONE:
         from ako_tpu.runtime.kagari import decompress_block
 
-        res = decompress_block(view[cursor:], tds, tds + spacing)
+        res = decompress_block(view[cursor:], tds, tds + spacing, s.compression)
         if res is None:
             raise AkoError(Status.BROKEN_INPUT)
         values, consumed = res
@@ -381,12 +381,18 @@ def _read_tile_block(view, cursor: int, t, s: Settings, channels: int):
 
 def _entropy_one(payload, t, s: Settings, channels: int) -> np.ndarray:
     """Entropy-decode one tile's sliced payload (or reinterpret the raw
-    block when compression is NONE)."""
-    from ako_tpu.runtime.kagari import kagari_decode
+    block when compression is NONE). MANBAVARAN-flagged payloads try
+    the real rANS coder first and fall back to Kagari (reference-made
+    reserved-flag blobs carry Kagari bytes — runtime/kagari.py)."""
+    from ako_tpu.runtime.kagari import kagari_decode, manba_decode
 
     tds, spacing = tile_block_sizes(t, s, channels)
     if s.compression == Compression.NONE:
         return np.frombuffer(payload, dtype=np.int16).copy()
+    if s.compression == Compression.MANBAVARAN:
+        values = manba_decode(tds // 2, payload)
+        if values is not None:
+            return values
     res = kagari_decode(tds // 2, payload, tds + spacing)
     if res is None or res[1] != len(payload):
         raise AkoError(Status.BROKEN_INPUT)

@@ -481,7 +481,7 @@ def encode(
             tds = t.w * t.h * channels * 2
         _fire(events, t.index, total, Event.COMPRESSION_START, events_user)
         if s.compression != Compression.NONE:
-            block = compress_block(values, tds)
+            block = compress_block(values, tds, s.compression)
             if block is None:
                 raise AkoError(Status.ERROR, "incompressible tile")
             blocks.append(block)

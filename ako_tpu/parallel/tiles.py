@@ -208,11 +208,38 @@ def encode_image_sharded(
     from ako_tpu.runtime.kagari import BLOCK_HEAD, compress_block
     from ako_tpu.core.settings import AkoError, Status
 
+    from ako_tpu.core.settings import Compression
+    from ako_tpu.runtime.kagari import effective_method
+
     s = checked_settings(s)
     image_h, image_w, channels = image.shape
     head = container.head_write(channels, image_w, image_h, s)
     grid = geometry.tile_grid(image_w, image_h, s.tiles_dimension)
     n_shards = mesh.shape[axis_name]
+
+    # The fused SPMD path packs Kagari on device; raw blocks (NONE) and
+    # the real-rANS extension (MANBAVARAN under AKO_TPU_MANBAVARAN=1)
+    # take the sharded-lift + host-framed route instead, matching the
+    # single-chip encode()'s bytes for every method.
+    if (
+        s.compression == Compression.NONE
+        or effective_method(s.compression) == Compression.MANBAVARAN
+    ):
+        streams = encode_tiles_sharded(image, s, mesh, axis_name)
+        parts: list[bytes] = [head]
+        for t, values in zip(grid, streams):
+            if s.compression == Compression.NONE:
+                parts.append(values.tobytes())
+                continue
+            if s.wavelet != Wavelet.NONE:
+                tds = geometry.tile_data_size(t.w, t.h) * channels
+            else:
+                tds = t.w * t.h * channels * 2
+            block = compress_block(values, tds, s.compression)
+            if block is None:
+                raise AkoError(Status.ERROR, "incompressible tile")
+            parts.append(block)
+        return b"".join(parts)
 
     by_shape: dict[tuple[int, int], list[geometry.TilePlacement]] = {}
     for t in grid:

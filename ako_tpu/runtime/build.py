@@ -129,6 +129,21 @@ def load() -> ctypes.CDLL:
             ctypes.c_void_p,
             ctypes.c_size_t,
         ]
+        lib.akort_manba_encode.restype = ctypes.c_size_t
+        lib.akort_manba_encode.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+        ]
+        lib.akort_manba_decode.restype = ctypes.c_size_t
+        lib.akort_manba_decode.argtypes = [
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+        ]
         lib.akort_u8_to_planes.restype = None
         lib.akort_u8_to_planes.argtypes = [
             ctypes.c_void_p,

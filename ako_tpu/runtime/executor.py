@@ -55,7 +55,7 @@ def _entropy_encode_image(
         else:
             tds = t.w * t.h * channels * 2
         if s.compression != Compression.NONE:
-            block = compress_block(values, tds)
+            block = compress_block(values, tds, s.compression)
             if block is None:
                 raise AkoError(Status.ERROR, "incompressible tile")
             return block

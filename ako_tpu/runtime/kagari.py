@@ -1,21 +1,81 @@
-"""Host-side Kagari entropy codec API (native-backed).
+"""Host-side entropy codec API (native-backed): Kagari, plus the
+format's reserved second method "Manbavaran" as a real rANS coder.
 
 Byte-level contract: library/kagari.c:228-366 plus the per-tile block
 framing of library/compression.c:30-73 (4-byte little-endian
 compressed-size head). The TPU pipeline produces/consumes the raw
 int16 coefficient stream; these functions translate it to/from the
 container's compressed blocks.
+
+MANBAVARAN: the reference reserves the enum value but ignores it —
+`method` never reaches the coder (compression.c:39), so a reference
+"manbavaran" blob carries Kagari bytes under the reserved flag. By
+default we mirror that (byte parity). With AKO_TPU_MANBAVARAN=1 the
+reserved method becomes a REAL static-model rANS coder
+(akort.c:akort_manba_encode, format documented there) — an ako_tpu
+extension the reference cannot decode. Our decoder reads both: real
+payloads carry a magic byte + strict model checks and fall back to
+Kagari otherwise, so reference-made and extension-made blobs decode
+correctly regardless of the env setting (PARITY.md divergence 12).
 """
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
 
+from ako_tpu.core.settings import Compression
 from ako_tpu.runtime.build import load
 
 BLOCK_HEAD = struct.Struct("<I")
+
+
+def manba_enabled() -> bool:
+    return os.environ.get("AKO_TPU_MANBAVARAN") == "1"
+
+
+def effective_method(method: Compression) -> Compression:
+    """The coder actually used inside blocks for a settings-level
+    method: KAGARI for the reserved MANBAVARAN unless the extension is
+    enabled (the reference always writes Kagari bytes)."""
+    if method == Compression.MANBAVARAN and manba_enabled():
+        return Compression.MANBAVARAN
+    return Compression.KAGARI if method != Compression.NONE else method
+
+
+def manba_encode(values: np.ndarray, output_capacity: int) -> bytes | None:
+    """rANS-encode an int16 array (Manbavaran extension payload); None
+    when it won't fit (same incompressible-failure shape as Kagari)."""
+    lib = load()
+    values = np.ascontiguousarray(values, dtype=np.int16)
+    out = np.empty(max(output_capacity, 1), dtype=np.uint8)
+    n = lib.akort_manba_encode(
+        values.ctypes.data, values.nbytes, out.ctypes.data, output_capacity
+    )
+    if n == 0:
+        return None
+    return out[:n].tobytes()
+
+
+def manba_decode(count: int, blob: bytes | memoryview) -> np.ndarray | None:
+    """Decode `count` int16 values from a Manbavaran payload; None on
+    anything that fails the magic/model/bounds checks (the caller then
+    falls back to Kagari for reference-style reserved-flag blobs)."""
+    lib = load()
+    src = np.frombuffer(blob, dtype=np.uint8)
+    out = np.zeros(max(count, 1), dtype=np.int16)
+    consumed = lib.akort_manba_decode(
+        count,
+        src.ctypes.data if src.size else None,
+        src.nbytes,
+        out.ctypes.data,
+        out.nbytes,
+    )
+    if consumed == 0:
+        return None
+    return out[:count]
 
 
 def kagari_encode(values: np.ndarray, output_capacity: int) -> bytes | None:
@@ -99,29 +159,49 @@ def kagari_sync(
     return bit_off, prev, consec, run, consumed, int(max_bits[0])
 
 
-def compress_block(values: np.ndarray, tile_data_size: int) -> bytes | None:
-    """Kagari + 4-byte block head (compression.c:36-55). The output
-    budget equals the uncompressed tile size — incompressible tiles
-    fail, as in the reference."""
-    payload = kagari_encode(values, tile_data_size - BLOCK_HEAD.size)
+def compress_block(
+    values: np.ndarray,
+    tile_data_size: int,
+    method: Compression = Compression.KAGARI,
+) -> bytes | None:
+    """Entropy payload + 4-byte block head (compression.c:36-55). The
+    output budget equals the uncompressed tile size — incompressible
+    tiles fail, as in the reference. `method` selects the coder via
+    effective_method (MANBAVARAN is real only under the extension)."""
+    if effective_method(method) == Compression.MANBAVARAN:
+        payload = manba_encode(values, tile_data_size - BLOCK_HEAD.size)
+    else:
+        payload = kagari_encode(values, tile_data_size - BLOCK_HEAD.size)
     if payload is None:
         return None
     return BLOCK_HEAD.pack(len(payload)) + payload
 
 
 def decompress_block(
-    blob: memoryview, tile_data_size: int, output_capacity_bytes: int
+    blob: memoryview,
+    tile_data_size: int,
+    output_capacity_bytes: int,
+    method: Compression = Compression.KAGARI,
 ) -> tuple[np.ndarray, int] | None:
     """Inverse of compress_block (compression.c:58-73); returns
-    (values, total_consumed_incl_head) or None on broken input."""
+    (values, total_consumed_incl_head) or None on broken input.
+
+    A MANBAVARAN-flagged block is tried as a real rANS payload first
+    (magic byte + strict model checks) and falls back to Kagari — the
+    reference writes Kagari bytes under the reserved flag, so both
+    provenances decode regardless of AKO_TPU_MANBAVARAN."""
     if len(blob) < BLOCK_HEAD.size:
         return None
     (block_size,) = BLOCK_HEAD.unpack_from(blob)
-    res = kagari_decode(
-        tile_data_size // 2,
-        blob[BLOCK_HEAD.size : BLOCK_HEAD.size + block_size],
-        output_capacity_bytes,
-    )
+    payload = blob[BLOCK_HEAD.size : BLOCK_HEAD.size + block_size]
+    if len(payload) < block_size:
+        return None
+    count = tile_data_size // 2
+    if method == Compression.MANBAVARAN:
+        values = manba_decode(count, payload)
+        if values is not None:
+            return values, block_size + BLOCK_HEAD.size
+    res = kagari_decode(count, payload, output_capacity_bytes)
     if res is None:
         return None
     values, consumed = res

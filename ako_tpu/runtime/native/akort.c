@@ -1197,3 +1197,229 @@ API void akort_u8_to_planes(const uint8_t *ileaved, int32_t w, int32_t h,
 		}
 	}
 }
+
+/* ------------------------------------------------------------------ */
+/* "Manbavaran" rANS entropy coder — the format's reserved second      */
+/* compression method (reference ako.h:71 AKO_COMPRESSION_MANBAVARAN,  */
+/* never implemented there: compression.c:39 ignores `method`). This   */
+/* is an ako_tpu EXTENSION with a defined wire format:                 */
+/*                                                                     */
+/*   block   := [u32 block_size][payload]           (same framing)     */
+/*   payload := [u8 magic 0x52]['R': distinguishes real rANS payloads  */
+/*              from reference-style Kagari bytes under the same       */
+/*              reserved method flag][u32 rans_size]                   */
+/*              [17 x u16 freq (12-bit scale)][u32 final_state]        */
+/*              [rans bytes...][extras bitstream]                      */
+/*                                                                     */
+/* Values map exactly like Kagari's zigzag (incl. the u16 wrap for     */
+/* -32768): m = (u16)(zigzag(v) + 1), EXCEPT m = 0 denotes 65536 so    */
+/* every value is codable: sym = bit_length-1 of the 1..65536 code     */
+/* (0..16), extras = low `sym` bits, packed MSB-first in symbol        */
+/* order. Symbols are rANS-coded (Duda 2014; 32-bit state, 8-bit       */
+/* renorm, 12-bit probabilities) under a per-block static model.       */
+/* Encoded back-to-front so decode streams forward — the same          */
+/* property the device's block-parallel decoder relies on.             */
+
+#define MANBA_SYMS 17
+#define MANBA_PROB_BITS 12
+#define MANBA_PROB_SCALE (1u << MANBA_PROB_BITS)
+#define MANBA_STATE_LO (1u << 23)
+#define MANBA_MAGIC 0x52u /* 'R' */
+#define MANBA_HEAD_BYTES (1u + 4u + 2u * MANBA_SYMS + 4u)
+
+static int manba_sym(uint16_t u /* zigzag(v) */, uint32_t *m_out)
+{
+	/* code m in 1..65536; zigzag(-32768)+1 wraps to 0 == 65536 */
+	const uint32_t m = ((uint32_t)u + 1u) & 0xFFFFu;
+	const uint32_t code = (m == 0) ? 65536u : m;
+	int s = 0;
+	while ((code >> (s + 1)) != 0)
+		s++;
+	*m_out = code;
+	return s; /* 0..16 */
+}
+
+/* Build the quantized model; returns 0 on success. */
+static int manba_model(const uint32_t *hist, uint16_t *freq_out)
+{
+	uint64_t total = 0;
+	for (int s = 0; s < MANBA_SYMS; s++)
+		total += hist[s];
+	if (total == 0)
+		return -1;
+	uint32_t sum = 0;
+	int maxi = 0;
+	for (int s = 0; s < MANBA_SYMS; s++) {
+		uint32_t f = (uint32_t)(((uint64_t)hist[s] * MANBA_PROB_SCALE) / total);
+		if (hist[s] > 0 && f == 0)
+			f = 1;
+		freq_out[s] = (uint16_t)f;
+		sum += f;
+		if (freq_out[s] > freq_out[maxi])
+			maxi = s;
+	}
+	/* settle rounding drift on the most frequent symbol */
+	const int32_t drift = (int32_t)MANBA_PROB_SCALE - (int32_t)sum;
+	if ((int32_t)freq_out[maxi] + drift < 1)
+		return -1;
+	freq_out[maxi] = (uint16_t)((int32_t)freq_out[maxi] + drift);
+	return 0;
+}
+
+API size_t akort_manba_encode(const void *input, size_t input_size,
+                              void *output, size_t output_size)
+{
+	const int16_t *in = (const int16_t *)input;
+	const size_t n = input_size / 2;
+	uint8_t *out = (uint8_t *)output;
+
+	if (input_size == 0 || (input_size % 2) != 0 || output_size == 0)
+		return 0;
+
+	/* pass 1: symbols + extras sizes + histogram */
+	uint32_t hist[MANBA_SYMS] = {0};
+	uint64_t extra_bits = 0;
+	for (size_t i = 0; i < n; i++) {
+		uint32_t m;
+		const int s = manba_sym(zigzag16(in[i]), &m);
+		hist[s]++;
+		extra_bits += (uint64_t)s;
+	}
+	uint16_t freq[MANBA_SYMS];
+	if (manba_model(hist, freq) != 0)
+		return 0;
+	uint32_t cum[MANBA_SYMS + 1];
+	cum[0] = 0;
+	for (int s = 0; s < MANBA_SYMS; s++)
+		cum[s + 1] = cum[s] + freq[s];
+
+	const size_t extras_bytes = (size_t)((extra_bits + 7) / 8);
+
+	/* pass 2: rANS over symbols, back-to-front. Renorm bytes are
+	   emitted newest-first into a scratch region at the END of the
+	   caller's output buffer, then reversed into place — bounded by
+	   output_size, so incompressible blocks fail cleanly like Kagari */
+	if (output_size < MANBA_HEAD_BYTES + extras_bytes)
+		return 0;
+	uint8_t *scratch_lim = out + output_size;
+	uint8_t *sp = scratch_lim; /* grows downward */
+	uint8_t *const floor_ = out + MANBA_HEAD_BYTES + extras_bytes;
+	uint32_t x = MANBA_STATE_LO;
+	for (size_t i = n; i-- > 0;) {
+		uint32_t m;
+		const int s = manba_sym(zigzag16(in[i]), &m);
+		const uint32_t f = freq[s];
+		const uint32_t x_max = ((MANBA_STATE_LO >> MANBA_PROB_BITS) << 8) * f;
+		while (x >= x_max) {
+			if (sp <= floor_)
+				return 0;
+			*--sp = (uint8_t)(x & 0xFF);
+			x >>= 8;
+		}
+		x = ((x / f) << MANBA_PROB_BITS) + (x % f) + cum[s];
+	}
+	const size_t rans_bytes = (size_t)(scratch_lim - sp);
+	const size_t total = MANBA_HEAD_BYTES + rans_bytes + extras_bytes;
+	if (total > output_size)
+		return 0;
+
+	/* header */
+	out[0] = MANBA_MAGIC;
+	out[1] = (uint8_t)(rans_bytes & 0xFF);
+	out[2] = (uint8_t)((rans_bytes >> 8) & 0xFF);
+	out[3] = (uint8_t)((rans_bytes >> 16) & 0xFF);
+	out[4] = (uint8_t)((rans_bytes >> 24) & 0xFF);
+	for (int s = 0; s < MANBA_SYMS; s++) {
+		out[5 + 2 * s] = (uint8_t)(freq[s] & 0xFF);
+		out[6 + 2 * s] = (uint8_t)(freq[s] >> 8);
+	}
+	uint8_t *p = out + 5 + 2 * MANBA_SYMS;
+	p[0] = (uint8_t)(x & 0xFF);
+	p[1] = (uint8_t)((x >> 8) & 0xFF);
+	p[2] = (uint8_t)((x >> 16) & 0xFF);
+	p[3] = (uint8_t)((x >> 24) & 0xFF);
+	p += 4;
+	/* rans bytes: sp already holds them oldest-first (we emitted
+	   newest-first growing downward, so sp..scratch_lim is exactly
+	   decode order) */
+	memmove(p, sp, rans_bytes);
+	p += rans_bytes;
+
+	/* pass 3: extras bitstream, MSB-first in symbol order */
+	memset(p, 0, extras_bytes);
+	uint64_t bitpos = 0;
+	for (size_t i = 0; i < n; i++) {
+		uint32_t m;
+		const int s = manba_sym(zigzag16(in[i]), &m);
+		const uint32_t extra = m - (1u << s);
+		for (int b = s - 1; b >= 0; b--) {
+			if ((extra >> b) & 1u)
+				p[bitpos >> 3] |= (uint8_t)(0x80u >> (bitpos & 7));
+			bitpos++;
+		}
+	}
+	return total;
+}
+
+API size_t akort_manba_decode(size_t count, const void *input,
+                              size_t input_size, void *output,
+                              size_t output_size)
+{
+	const uint8_t *in = (const uint8_t *)input;
+	int16_t *out = (int16_t *)output;
+
+	if (count == 0 || input_size < MANBA_HEAD_BYTES || output_size < count * 2)
+		return 0;
+
+	if (in[0] != MANBA_MAGIC)
+		return 0;
+	const uint32_t rans_bytes =
+	    (uint32_t)in[1] | ((uint32_t)in[2] << 8) | ((uint32_t)in[3] << 16) |
+	    ((uint32_t)in[4] << 24);
+	uint16_t freq[MANBA_SYMS];
+	uint32_t cum[MANBA_SYMS + 1];
+	cum[0] = 0;
+	for (int s = 0; s < MANBA_SYMS; s++) {
+		freq[s] = (uint16_t)((uint32_t)in[5 + 2 * s] |
+		                     ((uint32_t)in[6 + 2 * s] << 8));
+		cum[s + 1] = cum[s] + freq[s];
+	}
+	if (cum[MANBA_SYMS] != MANBA_PROB_SCALE)
+		return 0;
+	if (input_size < (size_t)MANBA_HEAD_BYTES + rans_bytes)
+		return 0;
+	const uint8_t *rp = in + 5 + 2 * MANBA_SYMS;
+	uint32_t x = (uint32_t)rp[0] | ((uint32_t)rp[1] << 8) |
+	             ((uint32_t)rp[2] << 16) | ((uint32_t)rp[3] << 24);
+	rp += 4;
+	const uint8_t *const rlim = rp + rans_bytes;
+	const uint8_t *const extras = rlim;
+	const uint64_t extras_avail =
+	    ((uint64_t)(input_size - MANBA_HEAD_BYTES - rans_bytes)) * 8u;
+
+	uint64_t bitpos = 0;
+	for (size_t i = 0; i < count; i++) {
+		const uint32_t slot = x & (MANBA_PROB_SCALE - 1);
+		int s = 0;
+		while (s < MANBA_SYMS - 1 && cum[s + 1] <= slot)
+			s++;
+		if (freq[s] == 0)
+			return 0;
+		x = freq[s] * (x >> MANBA_PROB_BITS) + slot - cum[s];
+		while (x < MANBA_STATE_LO && rp < rlim)
+			x = (x << 8) | *rp++;
+		uint32_t extra = 0;
+		if (s > 0) {
+			if (bitpos + (uint64_t)s > extras_avail)
+				return 0;
+			for (int b = 0; b < s; b++) {
+				extra = (extra << 1) |
+				        ((extras[bitpos >> 3] >> (7 - (bitpos & 7))) & 1u);
+				bitpos++;
+			}
+		}
+		const uint32_t code = (1u << s) + extra; /* 1..65536 */
+		out[i] = unzigzag16((uint16_t)(code - 1u)); /* 65536 wraps to 0 */
+	}
+	return input_size;
+}

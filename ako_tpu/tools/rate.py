@@ -166,10 +166,17 @@ class _CachedEncoder:
         budget/fallback split and bucketed byte fetch as the production
         encoder (encode.collect_tiles_blocks); on CPU the host coder is
         used directly."""
+        from ako_tpu.runtime.kagari import effective_method
+
         s = self._settings_at(q)
         head = container.head_write(self.channels, self.w, self.h, s)
         grid = geometry.tile_grid(self.w, self.h, s.tiles_dimension)
-        device_entropy = jax.default_backend() != "cpu"
+        # the device packer emits Kagari blocks; the real-rANS
+        # extension (effective MANBAVARAN) must host-code
+        device_entropy = (
+            jax.default_backend() != "cpu"
+            and effective_method(s.compression) != Compression.MANBAVARAN
+        )
         blocks: list = [None] * len(grid)
         dispatched = []
         for tiles, lp, quads in self._tile_pyramids(s):
@@ -199,7 +206,7 @@ class _CachedEncoder:
                 continue
             streams = np.asarray(streams_dev)
             for i, t in enumerate(tiles):
-                block = compress_block(streams[i], tds)
+                block = compress_block(streams[i], tds, s.compression)
                 if block is None:
                     return None
                 blocks[t.index] = block
@@ -226,9 +233,17 @@ class _CachedEncoder:
         the reference's exact bounds checks decide success, mirroring
         encode.collect_tiles_blocks."""
         from ako_tpu.encode import _CAPACITY_MARGIN
-        from ako_tpu.runtime.kagari import BLOCK_HEAD
+        from ako_tpu.runtime.kagari import BLOCK_HEAD, effective_method
 
         s = self._settings_at(q)
+        if effective_method(s.compression) == Compression.MANBAVARAN:
+            # rANS payload sizes are not the device tokenizer's Kagari
+            # sizes: size the real blob (still cached-pyramid cheap)
+            blob = self.encode_at(q)
+            if blob is None:
+                raise AkoError(Status.ERROR, "incompressible tile")
+            self._last = q
+            return len(blob)
         total = container.HEAD_SIZE
         for tiles, lp, quads in self._tile_pyramids(s):
             tw, th = tiles[0].w, tiles[0].h
@@ -252,7 +267,7 @@ class _CachedEncoder:
                     ser(lp, quads, qs, gs)[jnp.asarray(risky)]
                 )
                 for j, i in enumerate(risky):
-                    block = compress_block(streams[j], tds)
+                    block = compress_block(streams[j], tds, s.compression)
                     if block is None:
                         raise AkoError(Status.ERROR, "incompressible tile")
                     sizes[i] = len(block) - BLOCK_HEAD.size

