@@ -443,6 +443,109 @@ def _entropy_decode_fn(
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=256)
+def _entropy_decode_fn_manba(
+    n_outputs: int,
+    block: int,
+    rspan: int,
+    espan: int,
+    pool_words: int,
+    tiles: int,
+    blocks: int,
+):
+    """Jitted batched device Manbavaran (rANS) decode over ONE combined
+    u32 upload -> (T, n_outputs) int16 streams. Layout (see
+    _pack_manba_upload): [bases (T) | rans_end (T) | extras_off (T) |
+    x (T*B) | rbyte (T*B) | ebit (T*B) | freq (T*17) | dense pool]."""
+    from ako_tpu.ops.manba_device import manba_decode_device
+
+    T, B = tiles, blocks
+
+    def fn(buf):
+        bases = jax.lax.bitcast_convert_type(buf[:T], jnp.int32)
+        rans_end = buf[T : 2 * T]
+        extras_off = buf[2 * T : 3 * T]
+        off = 3 * T
+        x = buf[off : off + T * B].reshape(T, B)
+        off += T * B
+        rbyte = buf[off : off + T * B].reshape(T, B)
+        off += T * B
+        ebit = buf[off : off + T * B].reshape(T, B)
+        off += T * B
+        freq = jax.lax.bitcast_convert_type(
+            buf[off : off + T * 17], jnp.int32
+        ).reshape(T, 17)
+        off += T * 17
+        pool = buf[off:]
+        return jax.vmap(
+            lambda bb, re, eo, xx, rb, eb, fr: manba_decode_device(
+                pool, xx, rb, eb, fr, re, eo, n_outputs, block,
+                rspan, espan, base=bb,
+            )
+        )(bases, rans_end, extras_off, x, rbyte, ebit, freq)
+
+    return jax.jit(fn)
+
+
+def _pack_manba_upload(items) -> tuple:
+    """Pack one shape group's Manbavaran decode input as a single u32
+    buffer (layout in _entropy_decode_fn_manba). items: (tile, payload,
+    ("manba", sync)) records. Returns (buf, pool_words, T, B, rspan,
+    espan)."""
+    from ako_tpu.ops.kagari_device import DECODE_SLACK_WORDS
+    from ako_tpu.ops.manba_device import span_words
+
+    payloads = [p for _, p, _ in items]
+    bases, w = [], 0
+    for p in payloads:
+        bases.append(w)
+        w += (len(p) + 3) // 4
+    pool_words = -(-(w + DECODE_SLACK_WORDS) // _POOL_ROUND_WORDS) * _POOL_ROUND_WORDS
+    pool8 = np.zeros(pool_words * 4, np.uint8)
+    for p, b in zip(payloads, bases):
+        pool8[b * 4 : b * 4 + len(p)] = np.frombuffer(p, np.uint8)
+
+    syncs = [sy for _, _, (_, sy) in items]
+    x = np.stack([sy[0] for sy in syncs])
+    rbyte = np.stack([sy[1] for sy in syncs])
+    ebit = np.stack([sy[2] for sy in syncs])
+    freq = np.stack([sy[3].astype(np.int32) for sy in syncs])
+    rans_end = np.asarray([sy[5] for sy in syncs], np.uint32)
+    extras_off = np.asarray([sy[6] for sy in syncs], np.uint32)
+    T, B = x.shape
+
+    rspan = _bucket_span(
+        max(
+            span_words(sy[1], sy[5], bits=False)
+            for sy in syncs
+        )
+    )
+    espan = _bucket_span(
+        max(
+            span_words(
+                sy[2].astype(np.int64) + sy[6] * 8, len(p) * 8, bits=True
+            )
+            for (_, p, _), sy in zip(items, syncs)
+        )
+    )
+
+    buf = np.empty(3 * T + 3 * T * B + T * 17 + pool_words, np.uint32)
+    buf[:T] = np.asarray(bases, np.int32).view(np.uint32)
+    buf[T : 2 * T] = rans_end
+    buf[2 * T : 3 * T] = extras_off
+    off = 3 * T
+    buf[off : off + T * B] = x.ravel()
+    off += T * B
+    buf[off : off + T * B] = rbyte.ravel()
+    off += T * B
+    buf[off : off + T * B] = ebit.ravel()
+    off += T * B
+    buf[off : off + T * 17] = freq.astype(np.int32).view(np.uint32).ravel()
+    off += T * 17
+    buf[off:] = pool8.view(">u4").astype(np.uint32)
+    return buf, pool_words, T, B, rspan, espan
+
+
 #: dense-pool length granularity (words): bounds compiled-program
 #: variants while wasting at most 64 KiB of upload per shape group
 _POOL_ROUND_WORDS = 16384
@@ -648,10 +751,18 @@ def dispatch_tiles_device_entropy(view, cursor: int, grid, s: Settings, channels
         cursor += BLOCK_HEAD.size + bs
 
     # ... then independent sync scans, optionally on the worker pool
-    # (the native scanner releases the GIL)
+    # (the native scanner releases the GIL). MANBAVARAN-flagged blocks
+    # try the rANS scanner first; reference-style reserved-flag blocks
+    # fail its magic check and scan as Kagari (runtime/kagari.py).
+    from ako_tpu.runtime.kagari import manba_sync
+
     def scan(args):
         t, payload, tds, spacing, bs = args
-        return kagari_sync(tds // 2, payload, tds + spacing, DECODE_BLOCK)
+        if s.compression == Compression.MANBAVARAN:
+            ms = manba_sync(tds // 2, payload, DECODE_BLOCK)
+            if ms is not None:
+                return ("manba", ms)
+        return ("kagari", kagari_sync(tds // 2, payload, tds + spacing, DECODE_BLOCK))
 
     syncs = list(pool.map(scan, blocks)) if pool is not None else [
         scan(b) for b in blocks
@@ -662,8 +773,16 @@ def dispatch_tiles_device_entropy(view, cursor: int, grid, s: Settings, channels
     _fire(events, 0, total, Event.COMPRESSION_END, events_user)
 
     per_shape: dict = {}
+    per_shape_manba: dict = {}
     host_tiles: list = []
-    for (t, payload, tds, spacing, bs), sync in zip(blocks, syncs):
+    for (t, payload, tds, spacing, bs), (kind, sync) in zip(blocks, syncs):
+        if kind == "manba":
+            if sync[7] != bs:
+                raise AkoError(Status.BROKEN_INPUT)
+            per_shape_manba.setdefault((t.w, t.h), []).append(
+                (t, payload, (kind, sync))
+            )
+            continue
         if sync is None or sync[4] != bs:
             raise AkoError(Status.BROKEN_INPUT)
         if sync[5] > 31:
@@ -736,6 +855,30 @@ def dispatch_tiles_device_entropy(view, cursor: int, grid, s: Settings, channels
         _fire(events, items[0][0].index, total, Event.COMPRESSION_END, events_user)
         dispatched.append(([t for t, _, _ in items], th, tw, pixels_dev))
 
+    # Manbavaran (rANS extension) groups: the device rANS decoder
+    # (ops/manba_device.py) from the host sync records, chained into
+    # the same unlift+format program
+    for (tw, th), items in per_shape_manba.items():
+        _fire(events, items[0][0].index, total, Event.COMPRESSION_START, events_user)
+        count = tile_block_sizes(items[0][0], s, channels)[0] // 2
+        buf, pool_words, tcount, bcount, rspan, espan = _pack_manba_upload(items)
+        efn = _entropy_decode_fn_manba(
+            count,
+            DECODE_BLOCK,
+            min(rspan, pool_words),
+            min(espan, pool_words),
+            pool_words,
+            tcount,
+            bcount,
+        )
+        streams_dev = efn(device_put_parallel(buf))
+        dfn = _tile_decoder(tw, th, channels, s.wavelet, s.wrap, s.color, out_mode)
+        pixels_dev = dfn(streams_dev)
+        if use_transport:
+            pixels_dev = transport.pack_pixels(pixels_dev, tw, th, channels)
+        _fire(events, items[0][0].index, total, Event.COMPRESSION_END, events_user)
+        dispatched.append(([t for t, _, _ in items], th, tw, pixels_dev))
+
     # quirk tiles: exact host decode, standard device unlift
     by_shape_host: dict = {}
     for t, payload, count in host_tiles:
@@ -801,7 +944,10 @@ def decode(
 
     if device_entropy is None:
         device_entropy = jax.default_backend() != "cpu"
-    if device_entropy and s.compression == Compression.KAGARI:
+    if device_entropy and s.compression in (
+        Compression.KAGARI,
+        Compression.MANBAVARAN,
+    ):
         grid = geometry.tile_grid(image_w, image_h, s.tiles_dimension)
         total = len(grid)
         # fused-path event granularity: per SHAPE GROUP (PARITY.md

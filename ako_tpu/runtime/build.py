@@ -144,6 +144,20 @@ def load() -> ctypes.CDLL:
             ctypes.c_void_p,
             ctypes.c_size_t,
         ]
+        lib.akort_manba_sync.restype = ctypes.c_size_t
+        lib.akort_manba_sync.argtypes = [
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
         lib.akort_u8_to_planes.restype = None
         lib.akort_u8_to_planes.argtypes = [
             ctypes.c_void_p,

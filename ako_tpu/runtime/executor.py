@@ -280,7 +280,10 @@ class PipelineDecoder:
 
             futs = [pool.submit(one, b) for b in blocks]
             return ("host", futs), (h, w, channels)
-        if device_entropy and s.compression == Compression.KAGARI:
+        if device_entropy and s.compression in (
+            Compression.KAGARI,
+            Compression.MANBAVARAN,
+        ):
             grid = geometry.tile_grid(w, h, s.tiles_dimension)
             disp = dispatch_tiles_device_entropy(
                 view, container.HEAD_SIZE, grid, s, channels, pool, residue

@@ -159,6 +159,41 @@ def kagari_sync(
     return bit_off, prev, consec, run, consumed, int(max_bits[0])
 
 
+def manba_sync(
+    count: int, blob: bytes | memoryview, block: int
+) -> tuple | None:
+    """Scan a Manbavaran payload and return per-block sync records for
+    the device-side parallel decoder (ops/manba_device.py): (x u32,
+    rbyte u32, ebit u32 arrays, freq (17,) u16, rans_off, rans_end,
+    extras_off, consumed). None on anything akort_manba_decode would
+    reject (incl. a non-manba payload: reference-style reserved-flag
+    blobs fail the magic check and fall back to Kagari)."""
+    lib = load()
+    src = np.frombuffer(blob, dtype=np.uint8)
+    n_rec = (count + block - 1) // block
+    x = np.zeros(n_rec, dtype=np.uint32)
+    rbyte = np.zeros(n_rec, dtype=np.uint32)
+    ebit = np.zeros(n_rec, dtype=np.uint32)
+    freq = np.zeros(17, dtype=np.uint16)
+    offs = np.zeros(3, dtype=np.uint32)
+    consumed = lib.akort_manba_sync(
+        count,
+        src.ctypes.data if src.size else None,
+        src.nbytes,
+        block,
+        x.ctypes.data,
+        rbyte.ctypes.data,
+        ebit.ctypes.data,
+        freq.ctypes.data,
+        offs[0:].ctypes.data,
+        offs[1:].ctypes.data,
+        offs[2:].ctypes.data,
+    )
+    if consumed == 0:
+        return None
+    return x, rbyte, ebit, freq, int(offs[0]), int(offs[1]), int(offs[2]), consumed
+
+
 def compress_block(
     values: np.ndarray,
     tile_data_size: int,

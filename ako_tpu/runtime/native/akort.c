@@ -1423,3 +1423,88 @@ API size_t akort_manba_decode(size_t count, const void *input,
 	}
 	return input_size;
 }
+
+/*
+Sync scan for the device-side parallel Manbavaran decoder: walk the
+rANS payload exactly like akort_manba_decode, recording the decoder
+state every `block`-th output: (rANS state x, next unread rans byte
+index RELATIVE to the payload start, extras bit index relative to the
+extras region start). A TPU program then decodes all blocks in
+parallel from these records (ops/manba_device.py), bit-exactly.
+
+Also writes the model (17 freqs) and the region offsets the device
+needs: *rans_off = first rans byte (absolute, after state), *extras_off
+= first extras byte (absolute), *rans_end = one past the last rans
+byte. Returns input_size on success (consumed = whole payload), 0 on
+any header/bounds failure — the same conditions akort_manba_decode
+rejects.
+*/
+API size_t akort_manba_sync(size_t count, const void *input, size_t input_size,
+                            size_t block, uint32_t *x_arr, uint32_t *rbyte_arr,
+                            uint32_t *ebit_arr, uint16_t *freq_out,
+                            uint32_t *rans_off, uint32_t *rans_end,
+                            uint32_t *extras_off)
+{
+	const uint8_t *in = (const uint8_t *)input;
+
+	if (count == 0 || block == 0 || input_size < MANBA_HEAD_BYTES)
+		return 0;
+	if (in[0] != MANBA_MAGIC)
+		return 0;
+	const uint32_t rans_bytes =
+	    (uint32_t)in[1] | ((uint32_t)in[2] << 8) | ((uint32_t)in[3] << 16) |
+	    ((uint32_t)in[4] << 24);
+	uint16_t freq[MANBA_SYMS];
+	uint32_t cum[MANBA_SYMS + 1];
+	cum[0] = 0;
+	for (int s = 0; s < MANBA_SYMS; s++) {
+		freq[s] = (uint16_t)((uint32_t)in[5 + 2 * s] |
+		                     ((uint32_t)in[6 + 2 * s] << 8));
+		freq_out[s] = freq[s];
+		cum[s + 1] = cum[s] + freq[s];
+	}
+	if (cum[MANBA_SYMS] != MANBA_PROB_SCALE)
+		return 0;
+	if (input_size < (size_t)MANBA_HEAD_BYTES + rans_bytes)
+		return 0;
+	const size_t rstart = 5 + 2 * MANBA_SYMS + 4;
+	const uint8_t *rp = in + rstart;
+	uint32_t x = (uint32_t)in[rstart - 4] | ((uint32_t)in[rstart - 3] << 8) |
+	             ((uint32_t)in[rstart - 2] << 16) |
+	             ((uint32_t)in[rstart - 1] << 24);
+	const uint8_t *const rlim = rp + rans_bytes;
+	const uint8_t *const extras = rlim;
+	const uint64_t extras_avail =
+	    ((uint64_t)(input_size - MANBA_HEAD_BYTES - rans_bytes)) * 8u;
+	*rans_off = (uint32_t)rstart;
+	*rans_end = (uint32_t)(rstart + rans_bytes);
+	*extras_off = (uint32_t)(rstart + rans_bytes);
+
+	uint64_t bitpos = 0;
+	size_t rec = 0;
+	const size_t n_rec = (count + block - 1) / block;
+	for (size_t i = 0; i < count; i++) {
+		if (rec < n_rec && (i % block) == 0) {
+			x_arr[rec] = x;
+			rbyte_arr[rec] = (uint32_t)(rp - in);
+			ebit_arr[rec] = (uint32_t)bitpos;
+			rec++;
+		}
+		const uint32_t slot = x & (MANBA_PROB_SCALE - 1);
+		int s = 0;
+		while (s < MANBA_SYMS - 1 && cum[s + 1] <= slot)
+			s++;
+		if (freq[s] == 0)
+			return 0;
+		x = freq[s] * (x >> MANBA_PROB_BITS) + slot - cum[s];
+		while (x < MANBA_STATE_LO && rp < rlim)
+			x = (x << 8) | *rp++;
+		if (s > 0) {
+			if (bitpos + (uint64_t)s > extras_avail)
+				return 0;
+			bitpos += (uint64_t)s;
+		}
+	}
+	(void)extras;
+	return input_size;
+}

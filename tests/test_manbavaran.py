@@ -206,3 +206,105 @@ class TestShardedMethods:
                 ref = ako_tpu.encode(img, s, device_entropy=False)
                 got = encode_image_sharded(img, s, mesh)
                 assert got == ref, (env, comp)
+
+
+class TestDeviceDecoder:
+    """The device rANS decoder (ops/manba_device.py) must be bit-exact
+    with the native host decoder, standalone and through the fused
+    device-entropy decode path."""
+
+    def test_kernel_parity(self, rng):
+        import jax.numpy as jnp
+
+        from ako_tpu.ops.manba_device import (
+            DECODE_BLOCK,
+            DECODE_SLACK_WORDS,
+            manba_decode_device,
+            span_words,
+        )
+        from ako_tpu.runtime.kagari import manba_sync
+
+        for vals in [
+            (rng.normal(0, 2.2, size=21846) ** 3 / 8).astype(np.int16),
+            np.zeros(5000, np.int16),
+            rng.integers(-32768, 32768, size=3000).astype(np.int16),
+            np.array([-32768, 32767, 0] * 500, np.int16),
+        ]:
+            p = manba_encode(vals, vals.nbytes * 3)
+            sy = manba_sync(len(vals), p, DECODE_BLOCK)
+            assert sy is not None
+            x, rbyte, ebit, freq, _ro, rans_end, extras_off, consumed = sy
+            assert consumed == len(p)
+            w = (len(p) + 3) // 4 + DECODE_SLACK_WORDS
+            pool8 = np.zeros(w * 4, np.uint8)
+            pool8[: len(p)] = np.frombuffer(p, np.uint8)
+            words = jnp.asarray(pool8.view(">u4").astype(np.uint32))
+            rspan = min(span_words(rbyte, rans_end, bits=False), w)
+            espan = min(
+                span_words(
+                    ebit.astype(np.int64) + extras_off * 8, len(p) * 8, bits=True
+                ),
+                w,
+            )
+            out = np.asarray(
+                manba_decode_device(
+                    words,
+                    jnp.asarray(x),
+                    jnp.asarray(rbyte),
+                    jnp.asarray(ebit),
+                    jnp.asarray(freq.astype(np.int32)),
+                    rans_end,
+                    extras_off,
+                    len(vals),
+                    DECODE_BLOCK,
+                    rspan,
+                    espan,
+                )
+            )
+            assert np.array_equal(out, vals)
+
+    def test_sync_rejects_kagari_payload(self, rng):
+        from ako_tpu.ops.manba_device import DECODE_BLOCK
+        from ako_tpu.runtime.kagari import manba_sync
+
+        vals = (rng.normal(0, 3, size=2000)).astype(np.int16)
+        p = kagari_encode(vals, vals.nbytes * 2)
+        assert manba_sync(len(vals), p, DECODE_BLOCK) is None
+
+    def test_fused_device_entropy_decode(self, rng, monkeypatch):
+        # the full device path: sync scan -> device rANS -> device
+        # unlift -> pixels, against the host decode of the same blob;
+        # ragged grid = several shape groups incl. a mixed batch
+        monkeypatch.setenv("AKO_TPU_MANBAVARAN", "1")
+        img = _photo(rng, 150, 130, 4)
+        s = Settings(quantization=16, tiles_dimension=64,
+                     compression=Compression.MANBAVARAN)
+        blob = ako_tpu.encode(img, s, device_entropy=False)
+        expect = ako_tpu.decode(blob, device_entropy=False)[0]
+        got = ako_tpu.decode(blob, device_entropy=True)[0]
+        assert np.array_equal(got, expect)
+
+    def test_fused_path_reads_reference_style_blob(self, rng, monkeypatch):
+        # reserved-flag blob carrying Kagari bytes: the device path
+        # must fall back to the Kagari device decoder per block
+        monkeypatch.delenv("AKO_TPU_MANBAVARAN", raising=False)
+        img = _photo(rng, 90, 70)
+        s = Settings(quantization=16, tiles_dimension=64,
+                     compression=Compression.MANBAVARAN)
+        blob = ako_tpu.encode(img, s, device_entropy=False)  # Kagari bytes
+        expect = ako_tpu.decode(blob, device_entropy=False)[0]
+        monkeypatch.setenv("AKO_TPU_MANBAVARAN", "1")
+        got = ako_tpu.decode(blob, device_entropy=True)[0]
+        assert np.array_equal(got, expect)
+
+    def test_pipeline_stream(self, rng, monkeypatch):
+        monkeypatch.setenv("AKO_TPU_MANBAVARAN", "1")
+        from ako_tpu.runtime.executor import PipelineDecoder, PipelineEncoder
+
+        s = Settings(quantization=16, tiles_dimension=64,
+                     compression=Compression.MANBAVARAN)
+        imgs = [_photo(rng, 96, 64, 4), _photo(rng, 96, 64, 4)]
+        blobs = PipelineEncoder(s, device_entropy=False).encode_batch(imgs)
+        got = list(PipelineDecoder().decode_iter(blobs, device_entropy=True))
+        for blob, pix in zip(blobs, got):
+            assert np.array_equal(pix, ako_tpu.decode(blob, device_entropy=False)[0])
