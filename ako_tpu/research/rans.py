@@ -4,8 +4,10 @@ The analog of the reference's resources/research/ans1 prototypes
 (Duda 2014 groundwork for the format's reserved MANBAVARAN method,
 reference library/ako.h:71 — which the reference never implemented,
 library/compression.c:39). Kept out of the codec pipeline so container
-output stays byte-exact with the reference; this is the research
-stepping stone for a future device-side rANS.
+output stays byte-exact with the reference; this was the research
+stepping stone for the production Manbavaran coder — now implemented
+natively (runtime/native/akort.c) with a block-parallel device decoder
+(ops/manba_device.py), opt-in via AKO_TPU_MANBAVARAN=1.
 
 Static-model byte-wise rANS: 32-bit state, 8-bit renormalization,
 frequencies quantized to a 12-bit (4096) probability scale. Decoder
