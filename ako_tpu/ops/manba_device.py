@@ -30,7 +30,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ako_tpu.ops.kagari_device import DECODE_BLOCK, DECODE_SLACK_WORDS  # noqa: F401
+from ako_tpu.ops.kagari_device import DECODE_BLOCK, DECODE_SLACK_WORDS
+
+__all__ = [
+    "DECODE_BLOCK",
+    "DECODE_SLACK_WORDS",  # shared pool-slack contract with the Kagari decoder
+    "manba_decode_device",
+    "span_words",
+]
 
 _PROB_BITS = 12
 _PROB_MASK = (1 << _PROB_BITS) - 1

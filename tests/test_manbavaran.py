@@ -308,3 +308,51 @@ class TestDeviceDecoder:
         got = list(PipelineDecoder().decode_iter(blobs, device_entropy=True))
         for blob, pix in zip(blobs, got):
             assert np.array_equal(pix, ako_tpu.decode(blob, device_entropy=False)[0])
+
+
+class TestExtensionFuzz:
+    """Corruption robustness for extension blobs. The reference cannot
+    decode real-rANS payloads, so there is no oracle to agree with:
+    the contract is never-crash and clean failure (AkoError) or
+    deterministic output, on both the host and device entropy paths."""
+
+    def _blob(self, rng):
+        import os
+
+        os.environ["AKO_TPU_MANBAVARAN"] = "1"
+        img = _photo(rng, 70, 90)
+        s = Settings(quantization=16, tiles_dimension=64,
+                     compression=Compression.MANBAVARAN)
+        return ako_tpu.encode(img, s, device_entropy=False)
+
+    def _decode_any(self, blob, device_entropy):
+        from ako_tpu.core.settings import AkoError
+
+        try:
+            return ako_tpu.decode(blob, device_entropy=device_entropy)[0]
+        except AkoError:
+            return None
+        except Exception as e:  # anything else is a bug
+            raise AssertionError(f"non-AkoError failure: {type(e).__name__}: {e}")
+
+    @pytest.mark.parametrize("device_entropy", [False, True])
+    def test_truncations(self, rng, monkeypatch, device_entropy):
+        monkeypatch.setenv("AKO_TPU_MANBAVARAN", "1")
+        blob = self._blob(rng)
+        for frac in (0.1, 0.3, 0.6, 0.9, 0.99):
+            self._decode_any(blob[: int(len(blob) * frac)], device_entropy)
+
+    @pytest.mark.parametrize("device_entropy", [False, True])
+    def test_payload_flips_deterministic(self, rng, monkeypatch, device_entropy):
+        monkeypatch.setenv("AKO_TPU_MANBAVARAN", "1")
+        blob = self._blob(rng)
+        for _ in range(12):
+            b = bytearray(blob)
+            pos = int(rng.integers(20, len(b)))
+            b[pos] ^= int(rng.integers(1, 256))
+            one = self._decode_any(bytes(b), device_entropy)
+            two = self._decode_any(bytes(b), device_entropy)
+            if one is None:
+                assert two is None
+            else:
+                assert np.array_equal(one, two)
