@@ -202,28 +202,49 @@ def upload_tiles_packed(batch: np.ndarray):
     from ako_tpu.decode import (
         _bucket_span,
         _entropy_decode_fn,
+        _entropy_decode_fn_manba,
         _pack_entropy_upload,
+        _pack_manba_upload,
         _tile_decoder,
     )
     from ako_tpu.encode import _fetch_pool
     from ako_tpu.ops.kagari_device import DECODE_BLOCK, decode_span_words
     from ako_tpu.ops.quantization import level_qg
     from ako_tpu.runtime.hostcodec import tile_encode_stream
-    from ako_tpu.runtime.kagari import kagari_encode, kagari_sync
+    from ako_tpu.runtime.kagari import (
+        kagari_encode,
+        kagari_sync,
+        manba_encode,
+        manba_sync,
+    )
     from ako_tpu.runtime.transfer import device_put_parallel
 
     T, th, tw, channels = batch.shape
     tds = geometry.tile_data_size(tw, th) * channels
     spacing = geometry.planes_spacing(tw, th)
     qg = level_qg(_geo.lift_schedule(tw, th), channels, 0, 0, 1)
+    # transport is our own layer (no wire-format compat constraint), so
+    # the uplink codec is free to be the tighter rANS: ~12% fewer q0
+    # bytes than Kagari on photographic content (devbench/
+    # manba_ratio.py), decoded by the device rANS decoder.
+    # AKO_TPU_TRANSPORT_ENC_CODEC=kagari pins the old coder.
+    use_rans = os.environ.get("AKO_TPU_TRANSPORT_ENC_CODEC", "rans") != "kagari"
 
     def pack_one(tile_u8):
         # all native (format + lift + entropy + sync scan; the round-2
         # CPU-XLA forward program cost ~100-130 ms/img across all
         # cores), GIL released throughout -> clean pool fan-out
         v = tile_encode_stream(tile_u8, _WAVELET, _WRAP, _COLOR, qg)
+        if use_rans:
+            p = manba_encode(v, tds)
+            if p is None:  # q0-incompressible (non-photographic content)
+                return None
+            sy = manba_sync(tds // 2, p, DECODE_BLOCK)
+            if sy is None:
+                return None
+            return p, sy
         p = kagari_encode(v, tds)
-        if p is None:  # q0-incompressible (non-photographic content)
+        if p is None:
             return None
         sy = kagari_sync(tds // 2, p, tds + spacing, DECODE_BLOCK)
         if sy is None or sy[5] > 31:  # zigzag(-32768) misalignment quirk
@@ -234,14 +255,27 @@ def upload_tiles_packed(batch: np.ndarray):
     if any(p is None for p in packed):
         return None
 
-    items = [(None, p, sy) for p, sy in packed]
-    buf, pool_words, tcount, bcount = _pack_entropy_upload(items)
-    span = _bucket_span(
-        max(decode_span_words(sy[0], len(p) * 8) for p, sy in packed)
-    )
-    efn = _entropy_decode_fn(
-        tds // 2, DECODE_BLOCK, pool_words, min(span, pool_words), tcount, bcount
-    )
+    if use_rans:
+        items = [(None, p, ("manba", sy)) for p, sy in packed]
+        buf, pool_words, tcount, bcount, rspan, espan = _pack_manba_upload(items)
+        efn = _entropy_decode_fn_manba(
+            tds // 2,
+            DECODE_BLOCK,
+            min(rspan, pool_words),
+            min(espan, pool_words),
+            pool_words,
+            tcount,
+            bcount,
+        )
+    else:
+        items = [(None, p, sy) for p, sy in packed]
+        buf, pool_words, tcount, bcount = _pack_entropy_upload(items)
+        span = _bucket_span(
+            max(decode_span_words(sy[0], len(p) * 8) for p, sy in packed)
+        )
+        efn = _entropy_decode_fn(
+            tds // 2, DECODE_BLOCK, pool_words, min(span, pool_words), tcount, bcount
+        )
     streams_dev = efn(device_put_parallel(buf))
     dfn = _tile_decoder(tw, th, channels, _WAVELET, _WRAP, _COLOR, out="ileaved")
     return dfn(streams_dev)

@@ -150,20 +150,26 @@ class TestTransportEncode:
         self._blob_pair(img, Settings(quantization=16), monkeypatch)
 
     def test_incompressible_raw_fallback(self, rng, monkeypatch):
-        # a q0-incompressible tile (kagari_encode -> None) must signal
-        # the raw upload; u8 pixels can barely reach the tds cap, so
-        # simulate the coder failure at its source module
+        # a q0-incompressible tile (coder -> None) must signal the raw
+        # upload; u8 pixels can barely reach the tds cap, so simulate
+        # the coder failure at its source module — for both uplink
+        # codecs (rANS default, Kagari pinned)
         from ako_tpu.runtime import kagari as kagari_mod
 
-        monkeypatch.setattr(kagari_mod, "kagari_encode", lambda v, cap: None)
         img = _photo(rng, 64, 64, 3)
+        monkeypatch.setattr(kagari_mod, "manba_encode", lambda v, cap: None)
+        assert transport.upload_tiles_packed(img[None]) is None
+        monkeypatch.setenv("AKO_TPU_TRANSPORT_ENC_CODEC", "kagari")
+        monkeypatch.setattr(kagari_mod, "kagari_encode", lambda v, cap: None)
         assert transport.upload_tiles_packed(img[None]) is None
 
     def test_oversized_code_raw_fallback(self, rng, monkeypatch):
-        # streams the device decoder cannot take (max code bits > 31,
-        # the zigzag(-32768) quirk) must also signal the raw upload
+        # Kagari-codec uplink: streams the device decoder cannot take
+        # (max code bits > 31, the zigzag(-32768) quirk) must signal
+        # the raw upload
         from ako_tpu.runtime import kagari as kagari_mod
 
+        monkeypatch.setenv("AKO_TPU_TRANSPORT_ENC_CODEC", "kagari")
         real_sync = kagari_mod.kagari_sync
 
         def fake_sync(count, blob, cap, block):
@@ -173,6 +179,12 @@ class TestTransportEncode:
         monkeypatch.setattr(kagari_mod, "kagari_sync", fake_sync)
         img = _photo(rng, 64, 64, 3)
         assert transport.upload_tiles_packed(img[None]) is None
+
+    def test_kagari_codec_pin(self, rng, monkeypatch):
+        # the old uplink codec stays available and bit-neutral
+        monkeypatch.setenv("AKO_TPU_TRANSPORT_ENC_CODEC", "kagari")
+        img = _photo(rng, 96, 64, 3)
+        self._blob_pair(img, Settings(quantization=16, tiles_dimension=64), monkeypatch)
 
     def test_constant_alpha_elision_composes(self, rng, monkeypatch):
         # constant alpha: transport packs channels-1 planes and the
