@@ -224,11 +224,13 @@ def upload_tiles_packed(batch: np.ndarray):
     spacing = geometry.planes_spacing(tw, th)
     qg = level_qg(_geo.lift_schedule(tw, th), channels, 0, 0, 1)
     # transport is our own layer (no wire-format compat constraint), so
-    # the uplink codec is free to be the tighter rANS: ~12% fewer q0
-    # bytes than Kagari on photographic content (devbench/
-    # manba_ratio.py), decoded by the device rANS decoder.
-    # AKO_TPU_TRANSPORT_ENC_CODEC=kagari pins the old coder.
-    use_rans = os.environ.get("AKO_TPU_TRANSPORT_ENC_CODEC", "rans") != "kagari"
+    # the uplink codec could be the tighter rANS (13% fewer q0 bytes).
+    # Measured END-TO-END though (devbench/enctr_codec_ab.py,
+    # interleaved on a ~45 MB/s link): rANS loses, 195 vs 152 ms/img —
+    # the device rANS decoder's extra scan work outweighs the ~6 ms of
+    # saved uplink. Kagari stays the default; =rans opts in (could win
+    # on a much slower link).
+    use_rans = os.environ.get("AKO_TPU_TRANSPORT_ENC_CODEC", "kagari") == "rans"
 
     def pack_one(tile_u8):
         # all native (format + lift + entropy + sync scan; the round-2

@@ -157,6 +157,7 @@ class TestTransportEncode:
         from ako_tpu.runtime import kagari as kagari_mod
 
         img = _photo(rng, 64, 64, 3)
+        monkeypatch.setenv("AKO_TPU_TRANSPORT_ENC_CODEC", "rans")
         monkeypatch.setattr(kagari_mod, "manba_encode", lambda v, cap: None)
         assert transport.upload_tiles_packed(img[None]) is None
         monkeypatch.setenv("AKO_TPU_TRANSPORT_ENC_CODEC", "kagari")
@@ -180,9 +181,9 @@ class TestTransportEncode:
         img = _photo(rng, 64, 64, 3)
         assert transport.upload_tiles_packed(img[None]) is None
 
-    def test_kagari_codec_pin(self, rng, monkeypatch):
-        # the old uplink codec stays available and bit-neutral
-        monkeypatch.setenv("AKO_TPU_TRANSPORT_ENC_CODEC", "kagari")
+    def test_rans_codec_pin(self, rng, monkeypatch):
+        # the opt-in rANS uplink codec stays bit-neutral
+        monkeypatch.setenv("AKO_TPU_TRANSPORT_ENC_CODEC", "rans")
         img = _photo(rng, 96, 64, 3)
         self._blob_pair(img, Settings(quantization=16, tiles_dimension=64), monkeypatch)
 
