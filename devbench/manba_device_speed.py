@@ -6,7 +6,6 @@ import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
 import numpy as np
-import jax.numpy as jnp
 from bench import synth_images
 from ako_tpu.core import geometry
 from ako_tpu.decode import (_bucket_span, _entropy_decode_fn,

@@ -317,9 +317,7 @@ class TestExtensionFuzz:
     deterministic output, on both the host and device entropy paths."""
 
     def _blob(self, rng):
-        import os
-
-        os.environ["AKO_TPU_MANBAVARAN"] = "1"
+        # callers set AKO_TPU_MANBAVARAN=1 via monkeypatch
         img = _photo(rng, 70, 90)
         s = Settings(quantization=16, tiles_dimension=64,
                      compression=Compression.MANBAVARAN)
