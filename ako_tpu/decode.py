@@ -332,33 +332,6 @@ def host_decode_mode() -> bool:
     return os.environ.get("AKO_TPU_DECODE") == "host"
 
 
-def decode_tiles_host(view, cursor: int, grid, s: Settings, channels: int,
-                      pool=None):
-    """Decode every tile natively on the host CPU: the sequential block
-    walk (sizes live in each head), then per-tile entropy decode +
-    unlift + inverse color fanned out on the worker pool (independent
-    tiles; ctypes releases the GIL). Returns [(tile, pixels u8)] in
-    tile order. Bit-exact with the device path (tests/test_hostcodec.py
-    asserts both against the reference oracle)."""
-    from ako_tpu.runtime.hostcodec import tile_decode_pixels
-
-    blocks = []
-    for t in grid:
-        values_or_view, cursor = _read_tile_block(view, cursor, t, s, channels)
-        blocks.append((t, values_or_view))
-
-    def one(args):
-        t, payload = args
-        values = _entropy_one(payload, t, s, channels)
-        return t, tile_decode_pixels(
-            values, t.w, t.h, channels, s.wavelet, s.wrap, s.color
-        )
-
-    if pool is None:
-        return [one(b) for b in blocks]
-    return list(pool.map(one, blocks))
-
-
 def _read_tile_block(view, cursor: int, t, s: Settings, channels: int):
     """Slice one tile's block payload out of the container without
     decoding it (the boundary walk is inherently sequential; the decode

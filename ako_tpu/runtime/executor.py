@@ -159,7 +159,7 @@ class PipelineEncoder:
                 head = container.head_write(channels, w, h, s)
                 grid, channels, dispatched = dispatch_tiles_fused(image, s)
                 futs.append(io.submit(collect, (head, s, channels, grid, dispatched)))
-                if len(futs) > depth:
+                if len(futs) >= depth:
                     yield futs.popleft().result()
             while futs:
                 yield futs.popleft().result()

@@ -47,7 +47,14 @@ def effective_method(method: Compression) -> Compression:
 
 def manba_encode(values: np.ndarray, output_capacity: int) -> bytes | None:
     """rANS-encode an int16 array (Manbavaran extension payload); None
-    when it won't fit (same incompressible-failure shape as Kagari)."""
+    when it won't fit (same incompressible-failure shape as Kagari).
+
+    output_capacity <= 0 fails up front: ctypes would wrap a negative
+    into a huge c_size_t and the native size guards would pass while
+    the numpy buffer is 1 byte (tiny remainder tiles reach this via
+    compress_block's tds - 4)."""
+    if output_capacity <= 0:
+        return None
     lib = load()
     values = np.ascontiguousarray(values, dtype=np.int16)
     out = np.empty(max(output_capacity, 1), dtype=np.uint8)
@@ -82,6 +89,11 @@ def kagari_encode(values: np.ndarray, output_capacity: int) -> bytes | None:
     """Encode an int16 array; None when the stream won't fit (the
     incompressible-tile failure mode, which the orchestrator surfaces
     as Status.ERROR exactly like the reference)."""
+    # <= 0 capacities: the reference's pointer arithmetic wraps and its
+    # sink bounds fail (every such encode errors); fail up front with
+    # the same observable result instead of relying on wrapped pointers
+    if output_capacity <= 0:
+        return None
     lib = load()
     values = np.ascontiguousarray(values, dtype=np.int16)
     out = np.empty(max(output_capacity, 1), dtype=np.uint8)

@@ -1421,6 +1421,14 @@ API size_t akort_manba_decode(size_t count, const void *input,
 		const uint32_t code = (1u << s) + extra; /* 1..65536 */
 		out[i] = unzigzag16((uint16_t)(code - 1u)); /* 65536 wraps to 0 */
 	}
+	/* Final-state verification: a valid stream must return the rANS
+	   state to the encoder's initial MANBA_STATE_LO with every renorm
+	   byte consumed and at most 7 bits of extras padding left. This is
+	   what makes the reserved-flag auto-detect safe: a Kagari payload
+	   that happened to pass the magic + model checks has a ~2^-32
+	   chance of also landing the state/stream bounds exactly. */
+	if (x != MANBA_STATE_LO || rp != rlim || bitpos + 8u <= extras_avail)
+		return 0;
 	return input_size;
 }
 
@@ -1505,6 +1513,10 @@ API size_t akort_manba_sync(size_t count, const void *input, size_t input_size,
 			bitpos += (uint64_t)s;
 		}
 	}
+	/* same final-state verification as akort_manba_decode: the sync
+	   scan vouches for the whole stream before the device decodes it */
+	if (x != MANBA_STATE_LO || rp != rlim || bitpos + 8u <= extras_avail)
+		return 0;
 	(void)extras;
 	return input_size;
 }

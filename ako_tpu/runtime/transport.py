@@ -41,10 +41,8 @@ No reference counterpart: the reference is single-address-space C
 
 from __future__ import annotations
 
-import functools
 import os
 
-import jax
 import numpy as np
 
 from ako_tpu.core import geometry
@@ -55,17 +53,6 @@ from ako_tpu.core.settings import AkoError, Color, Status, Wavelet, Wrap
 #: YCoCg stays exactly reversible at q=0 (checked_settings only
 #: switches to the x2 variant when lossy).
 _WAVELET, _WRAP, _COLOR = Wavelet.CDF53, Wrap.CLAMP, Color.YCOCG
-
-
-@functools.lru_cache(maxsize=1)
-def _cpu_device():
-    """The host CPU jax device, or None when the backend is absent
-    (transport then stays disabled -- the unpack must not run on the
-    tunneled chip it is trying to relieve)."""
-    try:
-        return jax.local_devices(backend="cpu")[0]
-    except RuntimeError:
-        return None
 
 
 def _dir_enabled(dir_var: str) -> bool:

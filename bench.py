@@ -216,8 +216,11 @@ def _select_config(cands, images, settings):
     runs — scale rounds down so the whole probe stays bounded."""
     # device-path program warmup: transport=1 compiles the superset
     # (enc+dec transport programs); host decode adds no device programs
+    # of its own, but its +enctr candidate uses the encode-transport
+    # programs, so map AKO_TPU_TRANSPORT_ENC=1 onto the "1" warm pass
     warm_transports = sorted(
         {env.get("AKO_TPU_TRANSPORT", "0") for _, _, env in cands}
+        | {"1" for _, _, env in cands if env.get("AKO_TPU_TRANSPORT_ENC") == "1"}
     )
     for tr in warm_transports:
         _run_candidate(

@@ -354,3 +354,35 @@ class TestExtensionFuzz:
                 assert two is None
             else:
                 assert np.array_equal(one, two)
+
+
+def test_tiny_tile_negative_capacity_fails_cleanly(rng, monkeypatch):
+    """A 1x1 grid-remainder tile has tds=2, so compress_block's payload
+    capacity is tds-4 = -2: the wrappers must fail up front (ctypes
+    would wrap the negative into a huge c_size_t and the native coder
+    would overrun the 1-byte numpy buffer — found by review). Both
+    coders fail such tiles, matching the reference's own failure."""
+    from ako_tpu.core.settings import AkoError
+    from ako_tpu.runtime.kagari import compress_block, kagari_encode
+
+    vals = np.zeros(1, np.int16)
+    assert manba_encode(vals, -2) is None
+    assert manba_encode(vals, 0) is None
+    assert kagari_encode(vals, -2) is None
+    monkeypatch.setenv("AKO_TPU_MANBAVARAN", "1")
+    assert compress_block(vals, 2, Compression.MANBAVARAN) is None
+    img = _photo(rng, 33, 33, 1)
+    for comp in (Compression.KAGARI, Compression.MANBAVARAN):
+        with pytest.raises(AkoError):
+            ako_tpu.encode(
+                img,
+                Settings(quantization=16, tiles_dimension=32, compression=comp),
+                device_entropy=False,
+            )
+    # the reference fails these too (its wrapped pointer bound rejects)
+    assert (
+        oracle.ref_encode(
+            img, checked_settings(Settings(quantization=16, tiles_dimension=32))
+        )
+        is None
+    )

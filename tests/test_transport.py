@@ -153,7 +153,7 @@ class TestTransportEncode:
         # a q0-incompressible tile (coder -> None) must signal the raw
         # upload; u8 pixels can barely reach the tds cap, so simulate
         # the coder failure at its source module — for both uplink
-        # codecs (rANS default, Kagari pinned)
+        # codecs (Kagari default, rANS opt-in)
         from ako_tpu.runtime import kagari as kagari_mod
 
         img = _photo(rng, 64, 64, 3)
