@@ -26,7 +26,11 @@ os.environ.setdefault(
 
 W, H, CH = 1024, 1280, 4
 MEGAPIXELS = W * H / 1e6
-STREAM_N = 12
+# steady-state stream length (AKO_BENCH_N overrides). Measured
+# 2026-08-19: N=24 gives the same interleaved medians as N=12 (9.14 vs
+# 9.09 MP/s) — the depth-3 pipeline's ramp-in is already amortized at
+# 12, and shorter passes reduce exposure to mid-pass link stalls.
+STREAM_N = int(os.environ.get("AKO_BENCH_N", "12"))
 # 128x128 tiles: the codec's natural TPU mapping (one compiled program,
 # tiles batched, independent entropy blocks); 128 keeps the per-shape
 # program's cold compile through the remote compiler tractable. The
