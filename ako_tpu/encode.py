@@ -62,6 +62,60 @@ def _fetch_pool():
     return io_pool()
 
 
+def host_encode_mode() -> bool:
+    """AKO_TPU_ENCODE=host routes encode's compute (format + lift +
+    entropy) through the native host path (runtime/hostcodec.py +
+    akort.c) with ZERO device-link traffic — the symmetric twin of
+    decode.host_decode_mode. Through the tunneled TPU link the encode
+    direction pays ~1.6 MB/image uplink + ~2.1 MB downlink plus ~40 ms
+    RPC latency per collect; on a degraded link those dominate, so
+    bench.py races this mode against the device paths. Default stays
+    the device path (the natural mode on locally-attached TPUs)."""
+    return os.environ.get("AKO_TPU_ENCODE") == "host"
+
+
+@functools.lru_cache(maxsize=256)
+def _host_qg(
+    tile_w: int,
+    tile_h: int,
+    channels: int,
+    quantization: int,
+    gate: int,
+    chroma_loss: int,
+):
+    """Per-tile-shape quantization/gate table for the native lift
+    (hostcodec.tile_lift signature), cached like the device programs."""
+    schedule = geometry.lift_schedule(tile_w, tile_h)
+    return level_qg(schedule, channels, quantization, gate, chroma_loss)
+
+
+def encode_tile_block_host(
+    image: np.ndarray, t, s: Settings, channels: int
+) -> bytes:
+    """One tile's container block, computed entirely on the host CPU
+    (native format + lift + entropy; akort.c). Byte-identical to the
+    device path's output — both are oracle-gated. Tiles are independent
+    and the native calls release the GIL, so callers fan these out on
+    a worker pool (runtime/executor.PipelineEncoder host mode)."""
+    from ako_tpu.runtime import hostcodec
+
+    tile = image[t.y : t.y + t.h, t.x : t.x + t.w, :]
+    planes = hostcodec.u8_to_planes(tile, s.color, bool(s.discard_non_visible))
+    if s.wavelet == Wavelet.NONE:
+        stream = np.ascontiguousarray(planes).reshape(-1)
+        tds = t.w * t.h * channels * 2
+    else:
+        qg = _host_qg(t.w, t.h, channels, s.quantization, s.gate, s.chroma_loss)
+        stream = hostcodec.tile_lift(planes, s.wavelet, s.wrap, qg)
+        tds = geometry.tile_data_size(t.w, t.h) * channels
+    if s.compression == Compression.NONE:
+        return stream.tobytes()
+    block = compress_block(stream, tds, s.compression)
+    if block is None:
+        raise AkoError(Status.ERROR, "incompressible tile")
+    return block
+
+
 def checked_settings(s: Optional[Settings]) -> Settings:
     """YCoCg auto-switches to the x2-premultiplied variant when lossy
     (encode.c:60-64)."""
@@ -461,6 +515,44 @@ def encode(
     image_h, image_w, channels = image.shape
 
     head = container.head_write(channels, image_w, image_h, s)
+
+    if host_encode_mode():
+        from ako_tpu.runtime import hostcodec
+
+        grid = geometry.tile_grid(image_w, image_h, s.tiles_dimension)
+        total = len(grid)
+        blocks = [head]
+        # per-tile native encode keeps the reference's per-tile event
+        # granularity (ako.h:75-84): FORMAT around the color transform,
+        # WAVELET around the lift, COMPRESSION around the entropy coder
+        for t in grid:
+            tile = image[t.y : t.y + t.h, t.x : t.x + t.w, :]
+            _fire(events, t.index, total, Event.FORMAT_START, events_user)
+            planes = hostcodec.u8_to_planes(
+                tile, s.color, bool(s.discard_non_visible)
+            )
+            _fire(events, t.index, total, Event.FORMAT_END, events_user)
+            _fire(events, t.index, total, Event.WAVELET_START, events_user)
+            if s.wavelet == Wavelet.NONE:
+                stream = np.ascontiguousarray(planes).reshape(-1)
+                tds = t.w * t.h * channels * 2
+            else:
+                qg = _host_qg(
+                    t.w, t.h, channels, s.quantization, s.gate, s.chroma_loss
+                )
+                stream = hostcodec.tile_lift(planes, s.wavelet, s.wrap, qg)
+                tds = geometry.tile_data_size(t.w, t.h) * channels
+            _fire(events, t.index, total, Event.WAVELET_END, events_user)
+            _fire(events, t.index, total, Event.COMPRESSION_START, events_user)
+            if s.compression == Compression.NONE:
+                blocks.append(stream.tobytes())
+            else:
+                block = compress_block(stream, tds, s.compression)
+                if block is None:
+                    raise AkoError(Status.ERROR, "incompressible tile")
+                blocks.append(block)
+            _fire(events, t.index, total, Event.COMPRESSION_END, events_user)
+        return b"".join(blocks)
 
     if device_entropy is None:
         device_entropy = jax.default_backend() != "cpu"

@@ -100,6 +100,11 @@ class PipelineEncoder:
         (decode.dispatch_tiles_device_entropy), or None off the fused
         path. Used by roundtrip_iter."""
         s = self.settings
+        from ako_tpu.encode import host_encode_mode
+
+        if host_encode_mode():
+            yield from self._encode_iter_host(images, keep_residue)
+            return
         if s.compression == Compression.KAGARI and self._device_entropy():
             yield from self._encode_iter_device_entropy(images, keep_residue)
             return
@@ -124,6 +129,52 @@ class PipelineEncoder:
                 pending = (streams, grid, channels, s, head)
             if pending is not None:
                 yield _entropy_encode_image(*pending, pool)
+
+    def _encode_iter_host(
+        self, images: Iterable[np.ndarray], keep_residue: bool = False
+    ) -> Iterator[bytes]:
+        """Host-native encode (AKO_TPU_ENCODE=host): every tile's
+        format + lift + entropy block rides the worker pool as its own
+        future (tiles are independent; the native calls release the
+        GIL), with up to AKO_ENC_INFLIGHT images' tiles in flight so
+        the pool never drains at image boundaries. Zero device-link
+        traffic; blobs byte-identical to the device paths'."""
+        import os
+
+        from ako_tpu.encode import encode_tile_block_host
+
+        s = self.settings
+        depth = max(1, int(os.environ.get("AKO_ENC_INFLIGHT", "3")))
+        with cf.ThreadPoolExecutor(max_workers=self.workers) as pool:
+            pending: deque = deque()
+
+            def drain():
+                head, futs = pending.popleft()
+                blob = head + b"".join(f.result() for f in futs)
+                return (blob, None) if keep_residue else blob
+
+            for image in images:
+                image = np.asarray(image)
+                if image.ndim == 2:
+                    image = image[:, :, None]
+                h, w, channels = image.shape
+                head = container.head_write(channels, w, h, s)
+                grid = geometry.tile_grid(w, h, s.tiles_dimension)
+                pending.append(
+                    (
+                        head,
+                        [
+                            pool.submit(
+                                encode_tile_block_host, image, t, s, channels
+                            )
+                            for t in grid
+                        ],
+                    )
+                )
+                if len(pending) >= depth:
+                    yield drain()
+            while pending:
+                yield drain()
 
     def _encode_iter_device_entropy(
         self, images: Iterable[np.ndarray], keep_residue: bool = False
@@ -338,15 +389,19 @@ def roundtrip_iter(
     import os
 
     from ako_tpu.decode import host_decode_mode
+    from ako_tpu.encode import host_encode_mode
 
     enc = PipelineEncoder(settings, workers=workers, device_entropy=device_entropy)
     dec = PipelineDecoder(workers=workers)
     # Paired residue reuse (default on, AKO_TPU_RESIDENT=0 to A/B):
     # the decode of blob i reads its word pool from the encoder's
     # still-device-resident compressed rows — ~2 MB/image less uplink.
-    # Pointless under host decode (the blob never goes back up).
+    # Pointless under host decode (the blob never goes back up) and
+    # impossible under host encode (no device rows exist).
     keep_residue = (
-        os.environ.get("AKO_TPU_RESIDENT", "1") != "0" and not host_decode_mode()
+        os.environ.get("AKO_TPU_RESIDENT", "1") != "0"
+        and not host_decode_mode()
+        and not host_encode_mode()
     )
     q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
     stop = threading.Event()

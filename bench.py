@@ -143,12 +143,16 @@ def _candidates():
     host decode (AKO_TPU_DECODE=host: the native-C unlift runs the
     decode entirely on the host CPU, zero link bytes) wins whenever the
     link — not the 4-core host — is the bottleneck, which through the
-    tunnel is almost always. AKO_BENCH_MODE (seq|roundtrip),
-    AKO_TPU_TRANSPORT (0|1) and AKO_TPU_DECODE (device|host) pin their
-    axes; unset axes are probed."""
+    tunnel is almost always; host encode (AKO_TPU_ENCODE=host, the
+    symmetric native path) additionally removes the encode stream's
+    ~3.7 MB/image + per-collect RPC latency, so the full-host config is
+    immune to link degradation entirely. AKO_BENCH_MODE (seq|roundtrip),
+    AKO_TPU_TRANSPORT (0|1), AKO_TPU_DECODE and AKO_TPU_ENCODE
+    (device|host) pin their axes; unset axes are probed."""
     mode_pin = os.environ.get("AKO_BENCH_MODE", "auto")
     transport_pin = os.environ.get("AKO_TPU_TRANSPORT")
     decode_pin = os.environ.get("AKO_TPU_DECODE", "auto")
+    encode_pin = os.environ.get("AKO_TPU_ENCODE", "auto")
     modes = {
         "seq": [("seq", bench_ours)],
         "roundtrip": [("roundtrip", bench_ours_roundtrip)],
@@ -158,7 +162,7 @@ def _candidates():
     )
 
     cands = []
-    if decode_pin in ("auto", "device"):
+    if encode_pin in ("auto", "device") and decode_pin in ("auto", "device"):
         for tr in transports:
             for mname, fn in modes:
                 # seq+transport has never won a capture; keep the race
@@ -173,10 +177,11 @@ def _candidates():
                             "AKO_TPU_TRANSPORT": "1" if tr else "0",
                             "AKO_TPU_TRANSPORT_ENC": "",
                             "AKO_TPU_DECODE": "device",
+                            "AKO_TPU_ENCODE": "device",
                         },
                     )
                 )
-    if decode_pin in ("auto", "host"):
+    if encode_pin in ("auto", "device") and decode_pin in ("auto", "host"):
         enctrs = (
             [transport_pin == "1"]
             if transport_pin in ("0", "1")
@@ -194,9 +199,29 @@ def _candidates():
                             "AKO_TPU_TRANSPORT": "0",
                             "AKO_TPU_TRANSPORT_ENC": "1" if enctr else "0",
                             "AKO_TPU_DECODE": "host",
+                            "AKO_TPU_ENCODE": "device",
                         },
                     )
                 )
+    if encode_pin in ("auto", "host"):
+        # the native encode pairs with host decode for the zero-link
+        # config; only an explicit decode=device pin mixes it with the
+        # device decoder (that combination has never won unpinned)
+        hdec = "host" if decode_pin in ("auto", "host") else "device"
+        suffix = "+hostenc+hostdec" if hdec == "host" else "+hostenc"
+        for mname, fn in modes:
+            cands.append(
+                (
+                    f"{mname}{suffix}",
+                    fn,
+                    {
+                        "AKO_TPU_TRANSPORT": "0",
+                        "AKO_TPU_TRANSPORT_ENC": "0",
+                        "AKO_TPU_DECODE": hdec,
+                        "AKO_TPU_ENCODE": "host",
+                    },
+                )
+            )
     return cands
 
 
@@ -221,19 +246,34 @@ def _select_config(cands, images, settings):
     # device-path program warmup: transport=1 compiles the superset
     # (enc+dec transport programs); host decode adds no device programs
     # of its own, but its +enctr candidate uses the encode-transport
-    # programs, so map AKO_TPU_TRANSPORT_ENC=1 onto the "1" warm pass
+    # programs, so map AKO_TPU_TRANSPORT_ENC=1 onto the "1" warm pass.
+    # Full-host candidates (hostenc+hostdec) touch no device program at
+    # all, so a race of only those skips the device warmup entirely.
+    on_device = [
+        env
+        for _, _, env in cands
+        if env.get("AKO_TPU_ENCODE") != "host" or env.get("AKO_TPU_DECODE") != "host"
+    ]
     warm_transports = sorted(
-        {env.get("AKO_TPU_TRANSPORT", "0") for _, _, env in cands}
-        | {"1" for _, _, env in cands if env.get("AKO_TPU_TRANSPORT_ENC") == "1"}
+        {env.get("AKO_TPU_TRANSPORT", "0") for env in on_device}
+        | {"1" for env in on_device if env.get("AKO_TPU_TRANSPORT_ENC") == "1"}
     )
     for tr in warm_transports:
         _run_candidate(
             bench_ours,
-            {"AKO_TPU_TRANSPORT": tr, "AKO_TPU_TRANSPORT_ENC": "", "AKO_TPU_DECODE": "device"},
+            {
+                "AKO_TPU_TRANSPORT": tr,
+                "AKO_TPU_TRANSPORT_ENC": "",
+                "AKO_TPU_DECODE": "device",
+                "AKO_TPU_ENCODE": "device",
+            },
             images,
             settings,
         )
     if len(cands) == 1:
+        if not on_device:  # full-host pin: warm its own path (native
+            # lib load, qg caches) since no device pass ran above
+            _run_candidate(cands[0][1], cands[0][2], images, settings)
         return cands[0], {}
     budget = float(os.environ.get("AKO_BENCH_PROBE_S", "240"))
     probes = {name: [] for name, _, _ in cands}

@@ -28,11 +28,12 @@ def _stub(t):
     return fn
 
 
-def _env(transport="0", enctr="", decode="device"):
+def _env(transport="0", enctr="", decode="device", encode="device"):
     return {
         "AKO_TPU_TRANSPORT": transport,
         "AKO_TPU_TRANSPORT_ENC": enctr,
         "AKO_TPU_DECODE": decode,
+        "AKO_TPU_ENCODE": encode,
     }
 
 
@@ -49,6 +50,7 @@ def _clean_env():
         "AKO_TPU_TRANSPORT",
         "AKO_TPU_TRANSPORT_ENC",
         "AKO_TPU_DECODE",
+        "AKO_TPU_ENCODE",
     ]
     saved = {k: os.environ.pop(k, None) for k in keys}
     yield
@@ -59,7 +61,7 @@ def _clean_env():
             os.environ[k] = v
 
 
-def test_candidates_unpinned_races_all_six():
+def test_candidates_unpinned_races_all_eight():
     names = [c[0] for c in bench._candidates()]
     assert names == [
         "seq+raw",
@@ -68,6 +70,8 @@ def test_candidates_unpinned_races_all_six():
         "seq+hostdec",
         "roundtrip+hostdec",
         "roundtrip+hostdec+enctr",
+        "seq+hostenc+hostdec",
+        "roundtrip+hostenc+hostdec",
     ]
 
 
@@ -78,27 +82,40 @@ def test_candidates_pinning(monkeypatch):
         "roundtrip+transport",
         "roundtrip+hostdec",
         "roundtrip+hostdec+enctr",
+        "roundtrip+hostenc+hostdec",
     ]
     monkeypatch.setenv("AKO_TPU_TRANSPORT", "1")
     assert [c[0] for c in bench._candidates()] == [
         "roundtrip+transport",
         "roundtrip+hostdec+enctr",
+        "roundtrip+hostenc+hostdec",
     ]
     monkeypatch.setenv("AKO_TPU_DECODE", "device")
+    assert [c[0] for c in bench._candidates()] == [
+        "roundtrip+transport",
+        "roundtrip+hostenc",
+    ]
+    monkeypatch.setenv("AKO_TPU_ENCODE", "device")
     assert [c[0] for c in bench._candidates()] == ["roundtrip+transport"]
     monkeypatch.setenv("AKO_BENCH_MODE", "seq")
     monkeypatch.setenv("AKO_TPU_TRANSPORT", "0")
     assert [c[0] for c in bench._candidates()] == ["seq+raw"]
     monkeypatch.setenv("AKO_TPU_DECODE", "host")
     assert [c[0] for c in bench._candidates()] == ["seq+hostdec"]
+    monkeypatch.setenv("AKO_TPU_ENCODE", "host")
+    assert [c[0] for c in bench._candidates()] == ["seq+hostenc+hostdec"]
 
 
 def test_candidates_host_env_values():
     by_name = {c[0]: c[2] for c in bench._candidates()}
     assert by_name["roundtrip+hostdec"]["AKO_TPU_DECODE"] == "host"
     assert by_name["roundtrip+hostdec"]["AKO_TPU_TRANSPORT_ENC"] == "0"
+    assert by_name["roundtrip+hostdec"]["AKO_TPU_ENCODE"] == "device"
     assert by_name["roundtrip+hostdec+enctr"]["AKO_TPU_TRANSPORT_ENC"] == "1"
     assert by_name["roundtrip+transport"]["AKO_TPU_DECODE"] == "device"
+    assert by_name["roundtrip+hostenc+hostdec"]["AKO_TPU_ENCODE"] == "host"
+    assert by_name["roundtrip+hostenc+hostdec"]["AKO_TPU_DECODE"] == "host"
+    assert by_name["roundtrip+hostenc+hostdec"]["AKO_TPU_TRANSPORT"] == "0"
 
 
 def test_select_config_picks_fastest_median(monkeypatch):

@@ -207,6 +207,108 @@ class TestHostDecodePipeline:
         assert np.array_equal(pix, ref)
 
 
+class TestHostEncodeEndToEnd:
+    """AKO_TPU_ENCODE=host: the native format + lift + entropy produce
+    the reference encoder's exact blob bytes with zero device traffic
+    (the symmetric twin of TestHostDecodeEndToEnd)."""
+
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            dict(quantization=16, tiles_dimension=64),
+            dict(quantization=0, tiles_dimension=0),
+            dict(quantization=16, wavelet=Wavelet.CDF53, wrap=Wrap.MIRROR),
+            dict(quantization=8, wavelet=Wavelet.HAAR, tiles_dimension=32),
+            dict(quantization=16, compression=Compression.NONE),
+            dict(quantization=0, wavelet=Wavelet.NONE, compression=Compression.NONE),
+            dict(quantization=16, gate=24, chroma_loss=3, tiles_dimension=64),
+            dict(quantization=16, discard_non_visible=True, tiles_dimension=64),
+        ],
+    )
+    def test_reference_blob_exact(self, rng, monkeypatch, kw):
+        monkeypatch.setenv("AKO_TPU_ENCODE", "host")
+        s = Settings(**kw)
+        img = _photo(rng, 90, 70)
+        from ako_tpu.encode import checked_settings
+
+        blob = ako_tpu.encode(img, s)
+        ref = oracle.ref_encode(img, checked_settings(s))
+        assert blob == ref
+
+    def test_per_tile_events_fire(self, rng, monkeypatch):
+        monkeypatch.setenv("AKO_TPU_ENCODE", "host")
+        from ako_tpu.core.events import Event
+
+        s = Settings(quantization=16, tiles_dimension=64)
+        img = _photo(rng, 90, 70)
+        seen = []
+        ako_tpu.encode(img, s, events=lambda t, n, e, u: seen.append((t, e)))
+        tiles = {t for t, _ in seen}
+        n_tiles = geometry.image_tiles_no(70, 90, 64)
+        assert tiles == set(range(n_tiles)) and n_tiles == 4
+        for t in tiles:
+            evs = [e for tt, e in seen if tt == t]
+            assert evs == [
+                Event.FORMAT_START,
+                Event.FORMAT_END,
+                Event.WAVELET_START,
+                Event.WAVELET_END,
+                Event.COMPRESSION_START,
+                Event.COMPRESSION_END,
+            ]
+
+
+class TestHostEncodePipeline:
+    def test_pipeline_encoder_host(self, rng, monkeypatch):
+        monkeypatch.setenv("AKO_TPU_ENCODE", "host")
+        from ako_tpu.encode import checked_settings
+        from ako_tpu.runtime.executor import PipelineEncoder
+
+        # border tiles 8x22 (NOT 1-2 px wide: the reference encoder
+        # fails on those — PARITY.md divergence 7 — and it is the
+        # oracle here)
+        s = Settings(quantization=16, tiles_dimension=64)
+        imgs = [_photo(rng, 150, 136), _photo(rng, 96, 64), _photo(rng, 64, 64)]
+        blobs = PipelineEncoder(s).encode_batch(imgs)
+        for img, blob in zip(imgs, blobs):
+            assert blob == oracle.ref_encode(img, checked_settings(s))
+
+    def test_roundtrip_iter_full_host(self, rng, monkeypatch):
+        monkeypatch.setenv("AKO_TPU_ENCODE", "host")
+        monkeypatch.setenv("AKO_TPU_DECODE", "host")
+        from ako_tpu.encode import checked_settings
+        from ako_tpu.runtime.executor import roundtrip_iter
+
+        s = Settings(quantization=16, tiles_dimension=64)
+        imgs = [_photo(rng, 150, 136), _photo(rng, 96, 64)]
+        pairs = list(roundtrip_iter(imgs, s))
+        for img, (blob, pix) in zip(imgs, pairs):
+            assert blob == oracle.ref_encode(img, checked_settings(s))
+            assert np.array_equal(pix, oracle.ref_decode(blob)[0])
+
+    def test_host_mode_never_dispatches_device(self, rng, monkeypatch):
+        monkeypatch.setenv("AKO_TPU_ENCODE", "host")
+        import importlib
+
+        enc_mod = importlib.import_module("ako_tpu.encode")
+        from ako_tpu.encode import checked_settings
+        from ako_tpu.runtime.executor import PipelineEncoder
+
+        def boom(*a, **k):  # device dispatch must be unreachable
+            raise AssertionError("device path entered under host encode")
+
+        monkeypatch.setattr(enc_mod, "dispatch_tiles_fused", boom)
+        monkeypatch.setattr(enc_mod, "encode_tiles_device", boom)
+        monkeypatch.setattr(enc_mod, "_tile_encoder", boom)
+        s = Settings(quantization=16, tiles_dimension=64)
+        img = _photo(rng, 96, 64)
+        assert ako_tpu.encode(img, s) == oracle.ref_encode(
+            img, checked_settings(s)
+        )
+        (blob,) = PipelineEncoder(s).encode_batch([img])
+        assert blob == oracle.ref_encode(img, checked_settings(s))
+
+
 class TestNativeForwardParity:
     """The native forward (format + lift) must reproduce the Python/
     XLA forward ops bit-for-bit — it packs the encode-side transport
