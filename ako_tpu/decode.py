@@ -763,6 +763,23 @@ def dispatch_tiles_device_entropy(view, cursor: int, grid, s: Settings, channels
         else:
             per_shape.setdefault((t.w, t.h), []).append((t, payload, sync))
 
+    # fallback observability (utils/metrics.py; bench JSON `fallbacks`)
+    from ako_tpu.utils import metrics
+    from ako_tpu.utils.debug import dev_printf
+
+    metrics.bump(
+        metrics.DEC_DEVICE,
+        sum(len(v) for v in per_shape.values())
+        + sum(len(v) for v in per_shape_manba.values()),
+    )
+    if host_tiles:
+        metrics.bump(metrics.DEC_HOST_FALLBACK, len(host_tiles))
+        dev_printf(
+            "dec: %d/%d quirk streams (gamma codes > 31 bits) decoded on host",
+            len(host_tiles),
+            total,
+        )
+
     from ako_tpu.ops.kagari_device import decode_span_words
     from ako_tpu.runtime import transport
 

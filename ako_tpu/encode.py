@@ -377,6 +377,21 @@ def _prepare_collect(totals_dev, comp_bytes, capacity: int, budget: int):
         if int(n) > budget or int(n) >= capacity - _CAPACITY_MARGIN
     ]
     ok = [i for i in range(totals.shape[0]) if i not in set(fallback)]
+    # fallback observability: the host fallback is bit-exact, so only
+    # these counters (bench JSON `fallbacks`, AKO_TPU_DEV logging) can
+    # catch a budget regression that silently routes tiles onto the
+    # slow host path (utils/metrics.py)
+    from ako_tpu.utils import metrics
+    from ako_tpu.utils.debug import dev_printf
+
+    metrics.bump(metrics.ENC_DEVICE, len(ok))
+    if fallback:
+        metrics.bump(metrics.ENC_HOST_FALLBACK, len(fallback))
+        dev_printf(
+            "enc: %d/%d tiles near capacity, deferred to the host coder",
+            len(fallback),
+            totals.shape[0],
+        )
     groups, rows = [], []
     if ok:
         # group count follows the link's concurrency preference (read

@@ -419,6 +419,9 @@ def main() -> int:
     (config, ours_fn, env), probe_medians = _select_config(
         _candidates(), images, settings
     )
+    from ako_tpu.utils import metrics
+
+    metrics.reset()  # count fallbacks over the timed passes only
     times_ours = []
     for i in range(RUNS):
         # selection already warmed compiles + caches; every run here is
@@ -427,6 +430,7 @@ def main() -> int:
         times_ours.append(t)
     t_ours = sorted(times_ours)[RUNS // 2]
     mps = STREAM_N * MEGAPIXELS / t_ours
+    fallbacks = metrics.fallback_summary()
 
     # The oracle is a hard requirement: a broken oracle build must fail
     # the benchmark loudly, not quietly report vs_baseline 0.
@@ -468,6 +472,12 @@ def main() -> int:
                 "probe_medians_s": probe_medians,
                 "runs_s": [round(t, 3) for t in times_ours],
                 "ref_runs_s": [round(t, 3) for t in times_ref],
+                # silent-path observability (utils/metrics.py): tiles
+                # that ran on the exact-but-slow host fallbacks during
+                # the timed passes (VERDICT r3 weak-5); zero on the
+                # north-star workload, and identically zero for the
+                # full-host configs (which never enter the device paths)
+                "fallbacks": fallbacks,
             }
         )
     )
