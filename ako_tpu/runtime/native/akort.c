@@ -191,7 +191,11 @@ static uint16_t source_get(BitSource *s, int *bits_out)
 
 static uint16_t zigzag16(int16_t v)
 {
-	return (uint16_t)(((int32_t)v << 1) ^ ((int32_t)v >> 15));
+	/* shift the UNSIGNED reinterpretation: <<1 on a negative int is
+	   UB in C (same value bits on every sane target, but UBSan-clean
+	   matters for a parser fed untrusted input) */
+	return (uint16_t)(((uint32_t)(uint16_t)v << 1) ^
+	                  (uint32_t)(uint16_t)((int16_t)v >> 15));
 }
 
 static int16_t unzigzag16(uint16_t u)
