@@ -71,17 +71,33 @@ class TestHaloShardedLift:
         )
         np.testing.assert_array_equal(sharded, ref)
 
-    @pytest.mark.parametrize("w,h", [(127, 127), (96, 100)])
-    def test_odd_dims_replicated_fallback(self, rng, w, h):
-        # odd/ragged dims make every (or some) level fail _can_shard's
-        # even-split requirement: the lift must bail to the replicated
-        # path and stay bit-identical (pins the bail-out logic)
-        from ako_tpu.parallel.halo import _can_shard
+    @pytest.mark.parametrize(
+        "w,h,wavelet,wrap,min_sharded",
+        [
+            # odd dims: fake-row materialization + pad-crafted levels
+            (127, 127, Wavelet.DD137, Wrap.CLAMP, 2),
+            (96, 100, Wavelet.DD137, Wrap.CLAMP, 2),
+            (96, 100, Wavelet.DD137, Wrap.ZERO, 2),
+            (96, 100, Wavelet.CDF53, Wrap.CLAMP, 2),
+            (96, 100, Wavelet.CDF53, Wrap.ZERO, 2),
+            (77, 93, Wavelet.DD137, Wrap.CLAMP, 1),
+            # Haar reads no neighbors: pads work under every wrap
+            (96, 100, Wavelet.HAAR, Wrap.MIRROR, 2),
+            # MIRROR/REPEAT + remainder: value pads cannot express the
+            # position-varying edge substitutions -> replicated, exact
+            (96, 100, Wavelet.DD137, Wrap.MIRROR, 0),
+            (96, 100, Wavelet.DD137, Wrap.REPEAT, 0),
+        ],
+    )
+    def test_odd_dims_pad_sharded(self, rng, w, h, wavelet, wrap, min_sharded):
+        from ako_tpu.parallel.halo import plan_levels
 
         mesh = make_mesh((8,), ("rows",))
-        wavelet, wrap = Wavelet.DD137, Wrap.CLAMP
         schedule = geometry.lift_schedule(w, h)
-        assert not all(_can_shard(lvl, 8) for lvl in schedule.levels)
+        n_sharded = sum(plan_levels(schedule, 8, wavelet, wrap))
+        assert n_sharded >= min_sharded
+        if min_sharded == 0:
+            assert n_sharded == 0  # pins the MIRROR/REPEAT bail-out
         planes = rng.integers(-512, 512, size=(2, h, w)).astype(np.int16)
         qg = level_qg(schedule, 2, 16, 0, 1)
         ref = np.asarray(
@@ -106,6 +122,19 @@ class TestHaloShardedLift:
             )(jnp.asarray(got))
         )
         np.testing.assert_array_equal(rec, rec_ref)
+
+    def test_sharded_level_count_north_star(self):
+        """Guard against the planner silently replicating everything
+        (bit-exactness tests cannot catch that): the north-star
+        single-tile shapes must shard at least this many pyramid
+        levels on the 8-device mesh."""
+        from ako_tpu.parallel.halo import plan_levels
+
+        cafe = geometry.lift_schedule(1024, 1280)
+        assert sum(plan_levels(cafe, 8, Wavelet.DD137, Wrap.CLAMP)) >= 5
+        tractor = geometry.lift_schedule(1632, 2464)
+        # pre-pad planning sharded only 2 tractor levels (616 % 16 != 0)
+        assert sum(plan_levels(tractor, 8, Wavelet.DD137, Wrap.CLAMP)) >= 6
 
     def test_lossless_roundtrip_sharded(self, rng):
         mesh = make_mesh((8,), ("rows",))
