@@ -34,6 +34,8 @@ word windows carried through the scan).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -185,6 +187,16 @@ _RANK_CHUNK = 128
 #: per 80-tile image) and 512 (64 ms)
 _DENSE_CHUNK = 128
 
+#: chunk width for the "place" packer (_place_words_u32). Its VPU cost
+#: (the per-chunk local-word compare/select/sum) is LINEAR in this
+#: width while the coarse MXU matmuls stay negligible, and any power of
+#: two is exact (codes <= 31 bits keep every chunk's word span < C even
+#: at 32). Swept on the chip 2026-08-19 (devbench/device_stages.py,
+#: 80-tile north-star batch, fetch floor subtracted): pack 7.9 ms/img
+#: at 32 vs 12.6 at 64 and 18.9 at 128 (the round-3 default) —
+#: artifact devbench/DEVICE_STAGES_r04.json.
+_PLACE_CHUNK = int(os.environ.get("AKO_PACK_CHUNK", "32"))
+
 #: sentinel larger than any reachable word index (streams are < 2^28
 #: bits) but safe against base+r overflow in int32
 _WORD_PAD = 1 << 28
@@ -264,8 +276,9 @@ def _place_words_u32(hi, lo, word, n_words: int):
     that word (the gamma codes tile the stream), so every per-word sum
     is a bitwise OR: 8-bit limb partial sums stay < 256 (exact bf16
     inputs, exact fp32 MXU accumulation) and the final limb
-    recombination in wrapping uint32 is exact."""
-    C = _DENSE_CHUNK
+    recombination in wrapping uint32 is exact — at every chunk width
+    (the disjointness is a stream property, not a chunk property)."""
+    C = _PLACE_CHUNK
     assert C & (C - 1) == 0
     m = word.shape[0]
     pad = (-m) % C
