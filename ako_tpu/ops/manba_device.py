@@ -179,3 +179,139 @@ def manba_decode_device(
     state0 = (x, rhi, rlo, rrest, rcur, rrem, ehi, elo, erest, ecur)
     _, ys = jax.lax.scan(step, state0, None, length=block)  # (block, B)
     return ys.T.reshape(-1)[:n_outputs]
+
+
+# ---------------------------------------------------------------------
+# Device-side rANS ENCODER — the forward twin of manba_decode_device,
+# byte-identical to akort.c:akort_manba_encode.
+
+
+def _sym_extra(values):
+    """int16 stream -> (sym 0..16, extra, code) int32/uint32 arrays:
+    the zigzag+1 code (1..65536, with the u16 wrap mapping -32768 to
+    65536) split into bit_length-1 symbol and low-bits extra
+    (akort.c:manba_sym)."""
+    v = values.astype(jnp.int32)
+    z = ((v << 1) ^ (v >> 15)) & 0xFFFF
+    m = (z + 1) & 0xFFFF
+    code = jnp.where(m == 0, jnp.int32(65536), m)
+    sym = jnp.zeros_like(code)
+    for k in range(1, 17):
+        sym = sym + (code >= (1 << k)).astype(jnp.int32)
+    extra = (code - (jnp.int32(1) << sym)).astype(jnp.uint32)
+    return sym, extra, code
+
+
+def _udiv_shift12(num_u32, den_u32):
+    """floor((num << 12) / den) for uint32 vectors, exact for every
+    num/den (the intermediate is 44-bit: restoring long division over
+    the shifted numerator — 17 lanes x 44 steps, negligible). The
+    model quantization's hist*PROB_SCALE overflows uint32 for tiles
+    beyond 2^20 coefficients, so no single-word shortcut is safe."""
+    num = num_u32.astype(jnp.uint32)
+    den = jnp.maximum(den_u32.astype(jnp.uint32), 1)
+    rem = jnp.zeros_like(num)
+    q = jnp.zeros_like(num)
+    for k in range(43, -1, -1):
+        if k >= 12:
+            bit = (num >> jnp.uint32(k - 12)) & jnp.uint32(1)
+        else:
+            bit = jnp.zeros_like(num)
+        rem = (rem << 1) | bit
+        ge = rem >= den
+        rem = jnp.where(ge, rem - den, rem)
+        q = (q << 1) | ge.astype(jnp.uint32)
+    return q
+
+
+def manba_model_device(sym, n: int):
+    """The 12-bit static model of akort.c:manba_model, on device:
+    returns (freq (17,) uint32, ok bool scalar). freq floors to
+    PROB_SCALE-weighted histogram shares, bumps present-but-zero
+    symbols to 1, and settles the rounding drift on the first most
+    frequent symbol (ties resolve to the lowest index, like the
+    reference's strict-greater scan)."""
+    ar = jnp.arange(17, dtype=jnp.int32)
+    hist = jnp.sum(
+        (sym[:, None] == ar[None, :]).astype(jnp.uint32), axis=0
+    )
+    total = jnp.uint32(n)
+    f = _udiv_shift12(hist, total)
+    f = jnp.where((hist > 0) & (f == 0), jnp.uint32(1), f)
+    s = jnp.sum(f, dtype=jnp.uint32)
+    maxi = jnp.argmax(f).astype(jnp.int32)
+    drift = jnp.int32(1 << _PROB_BITS) - s.astype(jnp.int32)
+    fixed = f[maxi].astype(jnp.int32) + drift
+    ok = fixed >= 1
+    f = jnp.where(ar == maxi, jnp.maximum(fixed, 1).astype(jnp.uint32), f)
+    return f, ok
+
+
+def manba_encode_device(values, budget_bytes: int):
+    """Device-side Manbavaran encode of one int16 stream: all three
+    passes of akort_manba_encode (symbolization+model, back-to-front
+    rANS with 8-bit renorm, extras bit pack) as XLA programs. The
+    sequential rANS state chain runs as a lax.scan over the reversed
+    symbol stream (parallel across the caller's vmap lanes — one lane
+    per tile); the emitted renorm bytes land via the same scatter-free
+    dense placement as the Kagari packer (pack_bits with 8-bit codes
+    on the flipped emission sequence — stream order is the exact
+    reverse of emission order, akort.c's scratch-and-reverse).
+
+    Returns (freq (17,) u32, x_final u32, rans_row u8 (budget,),
+    rans_bytes i32, extras_row u8 (budget,), extras_bits i32, ok bool).
+    The caller assembles head+rans+extras (runtime.manba_assemble) and
+    MUST fall back to the host coder when ok is False or the total
+    exceeds the block capacity — identical failure semantics."""
+    from ako_tpu.ops.kagari_device import pack_bits
+
+    n = values.shape[0]
+    sym, extra, _ = _sym_extra(values)
+    freq, ok = manba_model_device(sym, n)
+    cum = jnp.concatenate(
+        [jnp.zeros((1,), jnp.uint32), jnp.cumsum(freq, dtype=jnp.uint32)]
+    )
+
+    # per-symbol (f, cum) resolved OUTSIDE the scan: 17-wide one-hot
+    # contraction, so the sequential loop body has no gathers at all
+    ar = jnp.arange(17, dtype=jnp.int32)
+    oh = (sym[:, None] == ar[None, :]).astype(jnp.uint32)
+    f_all = jnp.sum(oh * freq[None, :], axis=1)
+    c_all = jnp.sum(oh * cum[None, :17], axis=1)
+
+    def step(x, fc):
+        f, cm = fc
+        x_max = f << jnp.uint32(19)  # (STATE_LO >> 12) << 8 == 2^19
+        e0 = x >= x_max
+        b0 = x & jnp.uint32(0xFF)
+        x = jnp.where(e0, x >> 8, x)
+        e1 = x >= x_max
+        b1 = x & jnp.uint32(0xFF)
+        x = jnp.where(e1, x >> 8, x)
+        x = ((x // jnp.maximum(f, 1)) << jnp.uint32(_PROB_BITS)) + (
+            x % jnp.maximum(f, 1)
+        ) + cm
+        return x, (e0, b0, e1, b1)
+
+    x_final, (e0, b0, e1, b1) = jax.lax.scan(
+        step, _STATE_LO, (f_all[::-1], c_all[::-1])
+    )
+
+    # stream order = reverse of emission order (b0 before b1 within a
+    # step): interleave emission slots then flip the whole sequence
+    em_vals = jnp.stack([b0, b1], axis=-1).reshape(2 * n)[::-1]
+    em_bits = (
+        jnp.stack([e0, e1], axis=-1).reshape(2 * n)[::-1].astype(jnp.int32) * 8
+    )
+    rans_row, rans_bits = pack_bits(em_vals, em_bits, budget_bytes)
+
+    ex_row, ex_bits = pack_bits(extra, sym, budget_bytes)
+    return (
+        freq,
+        x_final,
+        rans_row,
+        rans_bits >> 3,
+        ex_row,
+        ex_bits,
+        ok,
+    )

@@ -85,6 +85,49 @@ def manba_decode(count: int, blob: bytes | memoryview) -> np.ndarray | None:
     return out[:count]
 
 
+#: Manbavaran payload head: magic 'R', rans byte count, 17 x 12-bit
+#: model freqs, final rANS state (wire format doc at akort.c's coder)
+MANBA_HEAD = struct.Struct("<BI17HI")
+
+
+def manba_assemble(
+    freq,
+    x_final,
+    rans_row: np.ndarray,
+    rans_bytes: int,
+    extras_row: np.ndarray,
+    extras_bits: int,
+    ok,
+    output_capacity: int,
+) -> bytes | None:
+    """Frame the device rANS encoder's pieces
+    (ops.manba_device.manba_encode_device) into the Manbavaran payload.
+    None when the model failed, the device budget truncated a stream,
+    or the total exceeds the capacity — the caller then falls back to
+    the native host coder, whose accept/reject boundary is the ground
+    truth (it may still succeed when only the device BUDGET was the
+    limit)."""
+    if not bool(ok):
+        return None
+    rans_bytes = int(rans_bytes)
+    extras_bytes = (int(extras_bits) + 7) // 8
+    total = MANBA_HEAD.size + rans_bytes + extras_bytes
+    if (
+        total > output_capacity
+        or rans_bytes > rans_row.shape[0]
+        or extras_bytes > extras_row.shape[0]
+    ):
+        return None
+    head = MANBA_HEAD.pack(
+        0x52, rans_bytes, *[int(f) for f in np.asarray(freq)], int(x_final)
+    )
+    return (
+        head
+        + np.asarray(rans_row[:rans_bytes]).tobytes()
+        + np.asarray(extras_row[:extras_bytes]).tobytes()
+    )
+
+
 def kagari_encode(values: np.ndarray, output_capacity: int) -> bytes | None:
     """Encode an int16 array; None when the stream won't fit (the
     incompressible-tile failure mode, which the orchestrator surfaces

@@ -386,3 +386,96 @@ def test_tiny_tile_negative_capacity_fails_cleanly(rng, monkeypatch):
         )
         is None
     )
+
+
+class TestDeviceEncoder:
+    """The device rANS ENCODER (ops.manba_device.manba_encode_device)
+    must produce byte-identical payloads to the native host coder
+    (akort_manba_encode) — the 'TPU-native both directions' claim."""
+
+    def _device_payload(self, vals, budget=None):
+        import jax
+        import jax.numpy as jnp
+
+        from ako_tpu.ops.manba_device import manba_encode_device
+        from ako_tpu.runtime.kagari import manba_assemble
+
+        cap = vals.size * 2 + 64
+        budget = cap if budget is None else budget
+        fn = jax.jit(lambda v: manba_encode_device(v, budget))
+        freq, x, rrow, rbytes, erow, ebits, ok = [
+            np.asarray(a) for a in fn(jnp.asarray(vals))
+        ]
+        return manba_assemble(freq, x, rrow, rbytes, erow, ebits, ok, cap)
+
+    @pytest.mark.parametrize(
+        "kind",
+        ["photo", "zeros", "fullrange", "int16min", "single", "runs"],
+    )
+    def test_kernel_parity(self, rng, kind):
+        from ako_tpu.runtime.kagari import manba_encode
+
+        vals = {
+            "photo": (rng.normal(0, 2.2, size=21846) ** 3 / 8).astype(np.int16),
+            "zeros": np.zeros(5000, np.int16),
+            "fullrange": rng.integers(-32768, 32768, size=3000).astype(np.int16),
+            "int16min": np.tile(
+                np.array([-32768, 7, -32768, 0], np.int16), 500
+            ),
+            "single": np.array([123], np.int16),
+            "runs": np.repeat(
+                rng.integers(-60, 60, size=40).astype(np.int16), 173
+            ),
+        }[kind]
+        ref = manba_encode(vals, vals.size * 2 + 64)
+        got = self._device_payload(vals)
+        assert ref is not None and got is not None
+        assert got == ref
+
+    def test_tile_stream_parity(self, rng):
+        # real coefficient statistics: a lifted+quantized tile stream
+        import jax.numpy as jnp
+
+        from ako_tpu.core import geometry
+        from ako_tpu.ops.colorspace import to_planar_yuv
+        from ako_tpu.ops.lifting import forward_tile
+        from ako_tpu.ops.quantization import level_qg
+        from ako_tpu.core.settings import Color, Wavelet, Wrap
+        from ako_tpu.runtime.kagari import manba_encode
+
+        tile = _photo(rng, 96, 64, ch=4)
+        sched = geometry.lift_schedule(64, 96)
+        qg = level_qg(sched, 4, 16, 0, 1)
+        planes = to_planar_yuv(jnp.asarray(tile), Color.YCOCG_Q, False)
+        stream = np.asarray(
+            forward_tile(planes, sched, Wavelet.DD137, Wrap.CLAMP, qg)
+        )
+        ref = manba_encode(stream, stream.size * 2 + 64)
+        got = self._device_payload(stream)
+        assert ref is not None and got == ref
+
+    def test_budget_truncation_returns_none(self, rng):
+        # a budget smaller than the stream must yield None (host
+        # fallback), never corrupt bytes
+        vals = rng.integers(-32768, 32768, size=4000).astype(np.int16)
+        got = self._device_payload(vals, budget=64)
+        assert got is None
+
+    def test_block_roundtrip_through_decoder(self, rng, monkeypatch):
+        # device-encoded payload framed as a block decodes through
+        # decompress_block (host) and matches the input
+        import struct
+
+        from ako_tpu.runtime.kagari import decompress_block
+
+        monkeypatch.setenv("AKO_TPU_MANBAVARAN", "1")
+        vals = (rng.normal(0, 3.0, size=8192) ** 3 / 9).astype(np.int16)
+        payload = self._device_payload(vals)
+        assert payload is not None
+        block = struct.pack("<I", len(payload)) + payload
+        out = decompress_block(
+            memoryview(block), vals.size * 2, vals.size * 2 + 64,
+            Compression.MANBAVARAN,
+        )
+        assert out is not None
+        np.testing.assert_array_equal(out[0], vals)

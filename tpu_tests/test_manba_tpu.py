@@ -75,3 +75,34 @@ def test_kernel_parity_tpu(rng):
         )
     )
     assert np.array_equal(out, vals)
+
+
+def test_device_rans_encode_tpu(rng):
+    """The device rANS ENCODER lowers on the chip and stays
+    byte-identical to the native host coder (VERDICT r4 item 4:
+    TPU-native both directions)."""
+    import time
+
+    import jax.numpy as jnp
+
+    from ako_tpu.ops.manba_device import manba_encode_device
+    from ako_tpu.runtime.kagari import manba_assemble, manba_encode
+
+    vals = (rng.normal(0, 2.5, size=(8, 32768)) ** 3 / 8).astype(np.int16)
+    cap = vals.shape[1] * 2 + 64
+    fn = jax.jit(jax.vmap(lambda v: manba_encode_device(v, cap)))
+    parts = fn(jnp.asarray(vals))
+    host_parts = [np.asarray(p) for p in parts]
+    for i in range(vals.shape[0]):
+        got = manba_assemble(
+            host_parts[0][i], host_parts[1][i], host_parts[2][i],
+            host_parts[3][i], host_parts[4][i], host_parts[5][i],
+            host_parts[6][i], cap,
+        )
+        ref = manba_encode(vals[i], cap)
+        assert ref is not None and got == ref
+    # measured pack time (8 streams of 32k values, forced fetch)
+    t0 = time.perf_counter()
+    np.asarray(fn(jnp.asarray(vals))[3])
+    dt = time.perf_counter() - t0
+    print(f"device manba encode: {1e3 * dt:.1f} ms for 8x32768 values")
