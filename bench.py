@@ -47,7 +47,16 @@ def synth_images(rng, n: int) -> list:
     showcases; those PNGs are not present in the reference checkout
     and the environment has no network, so this synthesizes content at
     cafe's exact dimensions (1024x1280 RGBA) with matched compressed
-    statistics (~5-6:1 at q=16 vs cafe's 12:1 at its showcase q)."""
+    statistics (~5-6:1 at q=16 vs cafe's 12:1 at its showcase q).
+
+    AKO_BENCH_CORPUS=fbm swaps in the higher-fidelity procedural
+    corpus (ako_tpu/utils/corpus.py: fractal value noise, piecewise
+    regions, edges, correlated chroma — closer wavelet statistics to
+    real photographs); the JSON line records which corpus ran."""
+    if os.environ.get("AKO_BENCH_CORPUS") == "fbm":
+        from ako_tpu.utils.corpus import corpus
+
+        return corpus(42, n, H, W, CH)
     out = []
     y, x = np.mgrid[0:H, 0:W].astype(np.float32)
     for k in range(n):
@@ -478,6 +487,7 @@ def main() -> int:
                 # north-star workload, and identically zero for the
                 # full-host configs (which never enter the device paths)
                 "fallbacks": fallbacks,
+                "corpus": os.environ.get("AKO_BENCH_CORPUS") or "sine+noise",
             }
         )
     )

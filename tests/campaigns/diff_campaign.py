@@ -21,11 +21,16 @@ def _big_case(rng):
     h = int(rng.integers(100, 400))
     w = int(rng.integers(100, 400))
     channels = int(rng.choice([1, 3, 4]))
-    y, x = np.mgrid[0:h, 0:w].astype(np.float32)
-    base = 120 + 60 * np.sin(x / 29.0) + 50 * np.cos(y / 17.0)
-    img = np.clip(
-        base[..., None] + rng.normal(0, 4, size=(h, w, channels)), 0, 255
-    ).astype(np.uint8)
+    if os.environ.get("AKO_CAMPAIGN_CORPUS") == "fbm":
+        from ako_tpu.utils.corpus import photo
+
+        img = photo(rng, h, w, channels)
+    else:
+        y, x = np.mgrid[0:h, 0:w].astype(np.float32)
+        base = 120 + 60 * np.sin(x / 29.0) + 50 * np.cos(y / 17.0)
+        img = np.clip(
+            base[..., None] + rng.normal(0, 4, size=(h, w, channels)), 0, 255
+        ).astype(np.uint8)
     s = Settings(
         quantization=int(rng.choice([0, 16, 64])),
         gate=int(rng.choice([0, 16])),

@@ -19,12 +19,16 @@ for seed in range(start, start + count):
     rng = np.random.default_rng(seed)
     w = int(rng.integers(16, 160)); h = int(rng.integers(16, 160))
     ch = int(rng.choice([1, 2, 3, 4]))
-    y, x = np.mgrid[0:h, 0:w].astype(np.float32)
-    img = np.stack([
-        np.clip(120 + 80*np.sin(x/float(rng.integers(5, 40)))
-                + 60*np.cos(y/float(rng.integers(5, 40)))
-                + rng.normal(0, 3, size=(h, w)), 0, 255)
-        for _ in range(ch)], axis=-1).astype(np.uint8)
+    if os.environ.get("AKO_CAMPAIGN_CORPUS") == "fbm":
+        from ako_tpu.utils.corpus import photo
+        img = photo(rng, h, w, ch)
+    else:
+        y, x = np.mgrid[0:h, 0:w].astype(np.float32)
+        img = np.stack([
+            np.clip(120 + 80*np.sin(x/float(rng.integers(5, 40)))
+                    + 60*np.cos(y/float(rng.integers(5, 40)))
+                    + rng.normal(0, 3, size=(h, w)), 0, 255)
+            for _ in range(ch)], axis=-1).astype(np.uint8)
     ratio = int(rng.choice([2, 4, 8, 12, 24]))
     gate = int(rng.choice([0, 0, 8, 16]))
     wav = ako_tpu.Wavelet(int(rng.choice([0, 1, 2])))
