@@ -918,53 +918,84 @@ static void lift_pair_1d(int wavelet, int wrap, const int16_t *ev,
 		return;
 	}
 	if (wavelet == W_CDF53) {
-		for (int i = 0; i < n; i++)
+		/* interior peeled off the wrap branches so the truncating
+		   shift-divisions vectorize (the per-element tap calls were
+		   half the forward-lift profile) */
+		for (int i = 0; i < n - 1; i++)
+			hp[i] = (int16_t)((int32_t)od[i] -
+			                  ((int32_t)ev[i] + (int32_t)ev[i + 1]) / 2);
+		{
+			const int i = n - 1;
 			hp[i] = (int16_t)((int32_t)od[i] -
 			                  ((int32_t)ev[i] + tap_p1(ev, n, i, wrap)) / 2);
-		for (int i = 0; i < n; i++)
+		}
+		lp[0] = (int16_t)((int32_t)ev[0] +
+		                  (tap_m1(hp, n, 0, wrap) + (int32_t)hp[0]) / 4);
+		for (int i = 1; i < n; i++)
 			lp[i] = (int16_t)((int32_t)ev[i] +
-			                  (tap_m1(hp, n, i, wrap) + (int32_t)hp[i]) / 4);
+			                  ((int32_t)hp[i - 1] + (int32_t)hp[i]) / 4);
 		return;
 	}
-	for (int i = 0; i < n; i++)
-		hp[i] = (int16_t)((int32_t)od[i] +
-		                  (tap_m1(ev, n, i, wrap) + tap_p2(ev, n, i, wrap) -
-		                   9 * ((int32_t)ev[i] + tap_p1(ev, n, i, wrap))) /
-		                      16);
-	for (int i = 0; i < n; i++)
-		lp[i] = (int16_t)((int32_t)ev[i] +
-		                  (-tap_m2(hp, n, i, wrap) - tap_p1(hp, n, i, wrap) +
-		                   9 * (tap_m1(hp, n, i, wrap) + (int32_t)hp[i])) /
-		                      32);
+	/* DD137 reaches here only with n >= 8 (eff_wavelet's <8x8 CDF53
+	   fallback), so the three boundary indices per pass are distinct
+	   from the vectorizable interior. */
+#define DD_HP(I, M1, P1, P2)                                               \
+	hp[I] = (int16_t)((int32_t)od[I] +                                     \
+	                  ((M1) + (P2)-9 * ((int32_t)ev[I] + (P1))) / 16)
+#define DD_LP(I, M2, M1, P1)                                               \
+	lp[I] = (int16_t)((int32_t)ev[I] +                                     \
+	                  (-(M2) - (P1) + 9 * ((M1) + (int32_t)hp[I])) / 32)
+	for (int i = 1; i < n - 2; i++)
+		DD_HP(i, (int32_t)ev[i - 1], (int32_t)ev[i + 1], (int32_t)ev[i + 2]);
+	DD_HP(0, tap_m1(ev, n, 0, wrap), (int32_t)ev[1], (int32_t)ev[2]);
+	DD_HP(n - 2, (int32_t)ev[n - 3], (int32_t)ev[n - 1],
+	      tap_p2(ev, n, n - 2, wrap));
+	DD_HP(n - 1, (int32_t)ev[n - 2], tap_p1(ev, n, n - 1, wrap),
+	      tap_p2(ev, n, n - 1, wrap));
+	for (int i = 2; i < n - 1; i++)
+		DD_LP(i, (int32_t)hp[i - 2], (int32_t)hp[i - 1], (int32_t)hp[i + 1]);
+	DD_LP(0, tap_m2(hp, n, 0, wrap), tap_m1(hp, n, 0, wrap), (int32_t)hp[1]);
+	DD_LP(1, tap_m2(hp, n, 1, wrap), (int32_t)hp[0], (int32_t)hp[2]);
+	DD_LP(n - 1, (int32_t)hp[n - 3], (int32_t)hp[n - 2],
+	      tap_p1(hp, n, n - 1, wrap));
+#undef DD_HP
+#undef DD_LP
 }
 
-/* Forward V pair over row-split even/odd halves (each th x tw). */
+/* Forward V pair over even/odd row streams: ev/od rows live at stride
+   `rs` elements (rs == tw for packed halves; rs == 2*tw reads the
+   even/odd rows straight out of the H-pass buffer with NO staging
+   copies — the vrow helpers take rs as their stride argument, and the
+   outputs lp/hp are packed th x tw). */
 static void lift_pair_v(int wavelet, int wrap, const int16_t *ev,
-                        const int16_t *od, int th, int tw, int16_t *lp,
-                        int16_t *hp, const int16_t *zrow)
+                        const int16_t *od, int th, int tw, int rs,
+                        int16_t *lp, int16_t *hp, const int16_t *zrow)
 {
 	if (wavelet == W_HAAR) {
-		for (int i = 0; i < th; i++)
+		for (int i = 0; i < th; i++) {
+			const int16_t *e0 = ev + (size_t)i * rs;
+			const int16_t *o0 = od + (size_t)i * rs;
+			int16_t *lrow = lp + (size_t)i * tw;
+			int16_t *hrow = hp + (size_t)i * tw;
 			for (int j = 0; j < tw; j++) {
-				lp[(size_t)i * tw + j] = ev[(size_t)i * tw + j];
-				hp[(size_t)i * tw + j] =
-				    (int16_t)((int32_t)od[(size_t)i * tw + j] -
-				              (int32_t)ev[(size_t)i * tw + j]);
+				lrow[j] = e0[j];
+				hrow[j] = (int16_t)((int32_t)o0[j] - (int32_t)e0[j]);
 			}
+		}
 		return;
 	}
 	if (wavelet == W_CDF53) {
 		for (int i = 0; i < th; i++) {
-			const int16_t *e0 = ev + (size_t)i * tw;
-			const int16_t *ep = vrow_p1(ev, th, tw, i, wrap, zrow);
-			const int16_t *o0 = od + (size_t)i * tw;
+			const int16_t *e0 = ev + (size_t)i * rs;
+			const int16_t *ep = vrow_p1(ev, th, rs, i, wrap, zrow);
+			const int16_t *o0 = od + (size_t)i * rs;
 			int16_t *hrow = hp + (size_t)i * tw;
 			for (int j = 0; j < tw; j++)
 				hrow[j] = (int16_t)((int32_t)o0[j] -
 				                    ((int32_t)e0[j] + (int32_t)ep[j]) / 2);
 		}
 		for (int i = 0; i < th; i++) {
-			const int16_t *e0 = ev + (size_t)i * tw;
+			const int16_t *e0 = ev + (size_t)i * rs;
 			const int16_t *h0 = hp + (size_t)i * tw;
 			const int16_t *hm = vrow_m1(hp, th, tw, i, wrap, zrow);
 			int16_t *lrow = lp + (size_t)i * tw;
@@ -975,11 +1006,11 @@ static void lift_pair_v(int wavelet, int wrap, const int16_t *ev,
 		return;
 	}
 	for (int i = 0; i < th; i++) {
-		const int16_t *e0 = ev + (size_t)i * tw;
-		const int16_t *em1 = vrow_m1(ev, th, tw, i, wrap, zrow);
-		const int16_t *ep1 = vrow_p1(ev, th, tw, i, wrap, zrow);
-		const int16_t *ep2 = vrow_p2(ev, th, tw, i, wrap, zrow);
-		const int16_t *o0 = od + (size_t)i * tw;
+		const int16_t *e0 = ev + (size_t)i * rs;
+		const int16_t *em1 = vrow_m1(ev, th, rs, i, wrap, zrow);
+		const int16_t *ep1 = vrow_p1(ev, th, rs, i, wrap, zrow);
+		const int16_t *ep2 = vrow_p2(ev, th, rs, i, wrap, zrow);
+		const int16_t *o0 = od + (size_t)i * rs;
 		int16_t *hrow = hp + (size_t)i * tw;
 		for (int j = 0; j < tw; j++)
 			hrow[j] = (int16_t)((int32_t)o0[j] +
@@ -988,7 +1019,7 @@ static void lift_pair_v(int wavelet, int wrap, const int16_t *ev,
 			                        16);
 	}
 	for (int i = 0; i < th; i++) {
-		const int16_t *e0 = ev + (size_t)i * tw;
+		const int16_t *e0 = ev + (size_t)i * rs;
 		const int16_t *h0 = hp + (size_t)i * tw;
 		const int16_t *hm1 = vrow_m1(hp, th, tw, i, wrap, zrow);
 		const int16_t *hp1 = vrow_p1(hp, th, tw, i, wrap, zrow);
@@ -1003,14 +1034,32 @@ static void lift_pair_v(int wavelet, int wrap, const int16_t *ev,
 }
 
 /* Fused dead-zone gate + truncating quantization at the highpass
-   store (lifting.c:154-168): |x| <= g zeroes, else trunc(x/max(q,1)). */
+   store (lifting.c:154-168): |x| <= g zeroes, else trunc(x/max(q,1)).
+
+   The division uses the Granlund-Montgomery invariant-multiply: with
+   m = floor(2^32/d) + 1 and u < 2^16, (u*m) >> 32 == floor(u/d)
+   exactly (m*d <= 2^32 + d <= 2^32 + 2^16 satisfies the theorem's
+   bound for every d in 2..65536; |x| <= 32768 < 2^16). A runtime-q
+   idiv per coefficient was 43% of the whole forward lift profile —
+   the multiply form vectorizes. */
 static void gate_quant(const int16_t *src, size_t n, int32_t q, int32_t g,
                        int16_t *dst)
 {
-	const int32_t qd = q < 1 ? 1 : q;
+	const uint32_t qd = (uint32_t)(q < 1 ? 1 : q);
+	if (qd == 1) { /* lossless fast path: pure gate */
+		for (size_t t = 0; t < n; t++) {
+			const int32_t x = src[t];
+			dst[t] = (x < -g || x > g) ? (int16_t)x : 0;
+		}
+		return;
+	}
+	const uint32_t m = (uint32_t)((((uint64_t)1 << 32) / qd) + 1u);
 	for (size_t t = 0; t < n; t++) {
 		const int32_t x = src[t];
-		dst[t] = (x < -g || x > g) ? (int16_t)(x / qd) : 0;
+		const uint32_t ax = (uint32_t)(x < 0 ? -x : x);
+		const int32_t qv = (int32_t)(uint32_t)(((uint64_t)ax * m) >> 32);
+		const int32_t v = x < 0 ? -qv : qv;
+		dst[t] = (x < -g || x > g) ? (int16_t)v : 0;
 	}
 }
 
@@ -1069,83 +1118,79 @@ API int32_t akort_tile_lift(const int16_t *planes, int32_t tile_w,
 	}
 
 	/* buffers, all at level-0 (largest) sizes:
-	   cur  : current plane + one fake row
-	   lp_h, hp_h : H-pass halves, (2*th x tw) each
-	   ev_v, od_v : V-pass row splits, (th x tw) each
-	   ll, qq     : V-pass outputs, (th x tw) each
+	   lp_h, hp_h : H-pass halves, (2*th x tw) each — the V pass reads
+	                their even/odd rows DIRECTLY at stride 2*tw (no
+	                staging copies; lift_pair_v's rs argument)
+	   llA, llB   : ping-pong LL outputs (the next level's input —
+	                level 0 reads the caller's planes in place; the
+	                plus-one fake row is virtualized by clamping the
+	                H-pass row index, so no buffer ever grows a row)
+	   qq, bq, dq : V-pass detail outputs, (th x tw) each
 	   rowev/rowod/zrow : (tw) each */
 	const size_t qa = (size_t)tgt_w[0] * tgt_h[0];
-	const size_t cur_cap = area + (size_t)tile_w;
-	int16_t *mem = (int16_t *)calloc(cur_cap + 8 * qa + 3 * (size_t)tgt_w[0], 2);
+	int16_t *mem = (int16_t *)calloc(9 * qa + 3 * (size_t)tgt_w[0], 2);
 	if (mem == NULL)
 		return -2;
-	int16_t *cur = mem;
-	int16_t *lp_h = cur + cur_cap;
+	int16_t *lp_h = mem;
 	int16_t *hp_h = lp_h + 2 * qa;
-	int16_t *ev_v = hp_h + 2 * qa;
-	int16_t *od_v = ev_v + qa;
-	int16_t *ll = od_v + qa;
-	int16_t *qq = ll + qa;
-	int16_t *rowev = qq + qa;
+	int16_t *llA = hp_h + 2 * qa;
+	int16_t *llB = llA + qa;
+	int16_t *qq = llB + qa;
+	int16_t *bq = qq + qa;
+	int16_t *dq = bq + qa;
+	int16_t *rowev = dq + qa;
 	int16_t *rowod = rowev + tgt_w[0];
 	int16_t *zrow = rowod + tgt_w[0]; /* calloc-zeroed; re-zeroed per level */
 
 	for (int ch = 0; ch < channels; ch++) {
-		memcpy(cur, planes + (size_t)ch * area, area * 2);
+		const int16_t *cur = planes + (size_t)ch * area;
+		int16_t *nxt = llA;
 		for (int k = 0; k < n_lvl; k++) {
 			const int cw = cur_w[k], chh = cur_h[k];
 			const int tw = tgt_w[k], th = tgt_h[k];
 			const size_t n = (size_t)tw * th;
 			const int fake_col = 2 * tw - cw;
-			const int fake_row = 2 * th - chh;
 			const int weff = eff_wavelet(wavelet, tw, th);
 			const int32_t q = qs[(size_t)k * channels + ch];
 			const int32_t g = gs[(size_t)k * channels + ch];
 			int16_t *chunk = stream_out + base[k] + (size_t)ch * (1 + 3 * n);
 
-			if (fake_row) /* duplicate the last row (lifting.c:46-47) */
-				memcpy(cur + (size_t)chh * cw, cur + (size_t)(chh - 1) * cw,
-				       (size_t)cw * 2);
-
-			/* H pass per row: strided even/odd split; odd width gets a
-			   fake trailing odd equal to the last even */
+			/* H pass per row: strided even/odd split in one pass; odd
+			   width gets a fake trailing odd equal to the last even,
+			   odd height a virtual duplicate of the last row
+			   (lifting.c:46-47) via the clamped row index */
 			for (int i = 0; i < 2 * th; i++) {
-				const int16_t *row = cur + (size_t)i * cw;
-				for (int j = 0; j < tw; j++)
+				const int ri = i < chh ? i : chh - 1;
+				const int16_t *row = cur + (size_t)ri * cw;
+				for (int j = 0; j < tw - fake_col; j++) {
 					rowev[j] = row[2 * j];
-				for (int j = 0; j < tw - fake_col; j++)
 					rowod[j] = row[2 * j + 1];
-				if (fake_col)
+				}
+				if (fake_col) {
+					rowev[tw - 1] = row[2 * (tw - 1)];
 					rowod[tw - 1] = rowev[tw - 1];
+				}
 				lift_pair_1d(weff, wrap, rowev, rowod, tw,
 				             lp_h + (size_t)i * tw, hp_h + (size_t)i * tw);
 			}
 
 			memset(zrow, 0, (size_t)tw * 2);
 
-			/* V pass on the lowpass half -> LL (next level) + C */
-			for (int i = 0; i < th; i++) {
-				memcpy(ev_v + (size_t)i * tw, lp_h + (size_t)(2 * i) * tw,
-				       (size_t)tw * 2);
-				memcpy(od_v + (size_t)i * tw, lp_h + (size_t)(2 * i + 1) * tw,
-				       (size_t)tw * 2);
-			}
-			lift_pair_v(weff, wrap, ev_v, od_v, th, tw, ll, qq, zrow);
+			/* V pass on the lowpass half -> LL (next level) + C; even/
+			   odd rows read straight from lp_h at stride 2*tw */
+			lift_pair_v(weff, wrap, lp_h, lp_h + tw, th, tw, 2 * tw,
+			            nxt, qq, zrow);
 			chunk[0] = (int16_t)q;
 			gate_quant(qq, n, q, g, chunk + 1); /* C (vertical detail) */
 
 			/* V pass on the highpass half -> B + D */
-			for (int i = 0; i < th; i++) {
-				memcpy(ev_v + (size_t)i * tw, hp_h + (size_t)(2 * i) * tw,
-				       (size_t)tw * 2);
-				memcpy(od_v + (size_t)i * tw, hp_h + (size_t)(2 * i + 1) * tw,
-				       (size_t)tw * 2);
-			}
-			lift_pair_v(weff, wrap, ev_v, od_v, th, tw, lp_h, qq, zrow);
-			gate_quant(lp_h, n, q, g, chunk + 1 + n);      /* B */
-			gate_quant(qq, n, q, g, chunk + 1 + 2 * n);    /* D */
+			lift_pair_v(weff, wrap, hp_h, hp_h + tw, th, tw, 2 * tw,
+			            bq, dq, zrow);
+			gate_quant(bq, n, q, g, chunk + 1 + n);     /* B */
+			gate_quant(dq, n, q, g, chunk + 1 + 2 * n); /* D */
 
-			memcpy(cur, ll, n * 2); /* LL becomes the next level's input */
+			cur = nxt; /* LL becomes the next level's input */
+			nxt = (nxt == llA) ? llB : llA;
 		}
 		memcpy(stream_out + (size_t)ch * lp_n, cur, lp_n * 2);
 	}
