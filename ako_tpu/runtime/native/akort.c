@@ -102,11 +102,9 @@ typedef struct {
 
 static int gamma_bits(uint16_t v)
 {
-	int b = 0;
-	while (v > 1) {
-		v >>= 1;
-		b++;
-	}
+	/* floor(log2(v)) via clz; v == 0 (the zigzag(-32768)+1 wrap) and
+	   v == 1 both code in 1 bit, exactly like the shift loop */
+	const int b = v > 1 ? 31 - __builtin_clz(v) : 0;
 	return b * 2 + 1;
 }
 
