@@ -478,6 +478,123 @@ def collect_tiles_blocks(
     return out
 
 
+@functools.lru_cache(maxsize=64)
+def _tile_encoder_manba(
+    tile_w: int,
+    tile_h: int,
+    channels: int,
+    wavelet: Wavelet,
+    wrap: Wrap,
+    color: Color,
+    discard_non_visible: bool,
+    quantization: int,
+    gate: int,
+    chroma_loss: int,
+):
+    """Fused device program for the MANBAVARAN extension: format + lift
+    + the device rANS encoder (ops.manba_device.manba_encode_device),
+    vmapped over same-shaped tiles. Returns (jitted fn, capacity):
+    fn(tiles_u8) -> the encoder's 7-part tuple, batched."""
+    from ako_tpu.ops.manba_device import manba_encode_device
+
+    schedule = geometry.lift_schedule(tile_w, tile_h)
+    qg = level_qg(schedule, channels, quantization, gate, chroma_loss)
+    if wavelet != Wavelet.NONE:
+        tds = geometry.tile_data_size(tile_w, tile_h) * channels
+    else:
+        tds = tile_w * tile_h * channels * 2
+    capacity = tds - BLOCK_HEAD.size
+
+    def fn(tiles_u8):
+        planes = to_planar_yuv(tiles_u8, color, discard_non_visible)
+        if wavelet == Wavelet.NONE:
+            stream = planes.reshape(planes.shape[:-3] + (-1,))
+        else:
+            stream = forward_tile(planes, schedule, wavelet, wrap, qg)
+        return jax.vmap(lambda v: manba_encode_device(v, capacity))(stream)
+
+    return jax.jit(fn), capacity
+
+
+def encode_tiles_blocks_manba(
+    image: np.ndarray, s: Settings, events=None, events_user=None
+):
+    """Device-entropy encode for the MANBAVARAN extension: fused
+    format + lift + device rANS per shape group; the host assembles
+    head+rans+extras per tile (runtime.kagari.manba_assemble) and
+    falls back to the native coder whenever the device result is
+    inconclusive (model failure / budget truncation) — the host
+    accept/reject boundary stays the ground truth. Blobs are
+    byte-identical to the host path's."""
+    from ako_tpu.runtime.kagari import manba_assemble
+    from ako_tpu.utils import metrics
+
+    image_h, image_w, channels = image.shape
+    grid = geometry.tile_grid(image_w, image_h, s.tiles_dimension)
+    total = len(grid)
+    out: list[Optional[bytes]] = [None] * len(grid)
+    for (tw, th), tiles in _group_by_shape(grid).items():
+        fn, capacity = _tile_encoder_manba(
+            tw,
+            th,
+            channels,
+            s.wavelet,
+            s.wrap,
+            s.color,
+            bool(s.discard_non_visible),
+            s.quantization,
+            s.gate,
+            s.chroma_loss,
+        )
+        t0 = tiles[0].index
+        _fire(events, t0, total, Event.FORMAT_START, events_user)
+        batch = np.stack(
+            [image[t.y : t.y + th, t.x : t.x + tw, :] for t in tiles], axis=0
+        )
+        batch_dev = jnp.asarray(batch)
+        _fire(events, t0, total, Event.FORMAT_END, events_user)
+        _fire(events, t0, total, Event.WAVELET_START, events_user)
+        parts = [np.asarray(a) for a in fn(batch_dev)]
+        _fire(events, t0, total, Event.WAVELET_END, events_user)
+        _fire(events, t0, total, Event.COMPRESSION_START, events_user)
+        freq, x, rrow, rbytes, erow, ebits, ok = parts
+        fell_back = 0
+        for i, t in enumerate(tiles):
+            payload = manba_assemble(
+                freq[i], x[i], rrow[i], rbytes[i], erow[i], ebits[i],
+                ok[i], capacity,
+            )
+            if payload is None:
+                fell_back += 1
+                block = compress_block(
+                    _host_stream_for_tile(image, t, s, channels),
+                    capacity + BLOCK_HEAD.size,
+                    s.compression,
+                )
+                if block is None:
+                    raise AkoError(Status.ERROR, "incompressible tile")
+                out[t.index] = block
+            else:
+                out[t.index] = BLOCK_HEAD.pack(len(payload)) + payload
+        metrics.bump(metrics.ENC_DEVICE, len(tiles) - fell_back)
+        metrics.bump(metrics.ENC_HOST_FALLBACK, fell_back)
+        _fire(events, t0, total, Event.COMPRESSION_END, events_user)
+    return out
+
+
+def _host_stream_for_tile(image, t, s: Settings, channels: int) -> np.ndarray:
+    """Native host forward (format+lift) of one tile — the fallback
+    stream source when a device entropy result is inconclusive."""
+    from ako_tpu.runtime import hostcodec
+
+    tile = image[t.y : t.y + t.h, t.x : t.x + t.w, :]
+    planes = hostcodec.u8_to_planes(tile, s.color, bool(s.discard_non_visible))
+    if s.wavelet == Wavelet.NONE:
+        return np.ascontiguousarray(planes).reshape(-1)
+    qg = _host_qg(t.w, t.h, channels, s.quantization, s.gate, s.chroma_loss)
+    return hostcodec.tile_lift(planes, s.wavelet, s.wrap, qg)
+
+
 def _group_by_shape(grid):
     by_shape: dict[tuple[int, int], list[geometry.TilePlacement]] = {}
     for t in grid:
@@ -572,7 +689,16 @@ def encode(
     if device_entropy is None:
         device_entropy = jax.default_backend() != "cpu"
 
-    if device_entropy and s.compression == Compression.KAGARI:
+    from ako_tpu.runtime.kagari import effective_method
+
+    eff = effective_method(s.compression)
+    if device_entropy and eff == Compression.MANBAVARAN:
+        # the extension's device rANS encoder (fused format+lift+pack)
+        tile_blocks = encode_tiles_blocks_manba(image, s, events, events_user)
+        return head + b"".join(tile_blocks)
+    if device_entropy and eff == Compression.KAGARI:
+        # covers KAGARI and reserved-flag MANBAVARAN without the
+        # extension (the reference's method-ignoring parity bytes)
         tile_blocks = encode_tiles_blocks(image, s, events, events_user)
         return head + b"".join(tile_blocks)
 

@@ -18,7 +18,7 @@ import numpy as np
 import pytest
 
 import ako_tpu
-from ako_tpu.core.settings import Compression, Settings
+from ako_tpu.core.settings import Compression, Settings, Wavelet
 from ako_tpu.encode import checked_settings
 from ako_tpu.runtime.kagari import (
     effective_method,
@@ -479,3 +479,36 @@ class TestDeviceEncoder:
         )
         assert out is not None
         np.testing.assert_array_equal(out[0], vals)
+
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            dict(quantization=16, tiles_dimension=64),
+            dict(quantization=0, tiles_dimension=32),
+            dict(quantization=16, wavelet=Wavelet.HAAR),
+        ],
+    )
+    def test_fused_device_entropy_encode(self, rng, monkeypatch, kw):
+        # the full fused path: format+lift+device rANS -> blob
+        # byte-identical to the host-entropy path, and decodable
+        monkeypatch.setenv("AKO_TPU_MANBAVARAN", "1")
+        img = _photo(rng, 96, 64, ch=4)
+        s = Settings(compression=Compression.MANBAVARAN, **kw)
+        dev = ako_tpu.encode(img, s, device_entropy=True)
+        host = ako_tpu.encode(img, s, device_entropy=False)
+        assert dev == host
+        out = ako_tpu.decode(dev, device_entropy=False)[0]
+        assert np.array_equal(out, ako_tpu.decode(host, device_entropy=True)[0])
+
+    def test_fused_reserved_flag_stays_parity(self, rng, monkeypatch):
+        # WITHOUT the extension env, a MANBAVARAN-flagged encode must
+        # keep emitting reference-parity Kagari bytes on every path
+        monkeypatch.delenv("AKO_TPU_MANBAVARAN", raising=False)
+        img = _photo(rng, 96, 64, ch=4)
+        s = Settings(compression=Compression.MANBAVARAN, quantization=16,
+                     tiles_dimension=64)
+        dev = ako_tpu.encode(img, s, device_entropy=True)
+        host = ako_tpu.encode(img, s, device_entropy=False)
+        assert dev == host
+        ref = oracle.ref_encode(img, checked_settings(s))
+        assert ref is not None and dev == ref
