@@ -96,18 +96,35 @@ def encode_tile_block_host(
     (native format + lift + entropy; akort.c). Byte-identical to the
     device path's output — both are oracle-gated. Tiles are independent
     and the native calls release the GIL, so callers fan these out on
-    a worker pool (runtime/executor.PipelineEncoder host mode)."""
+    a worker pool (runtime/executor.PipelineEncoder host mode).
+
+    Kagari-effective blocks run as ONE native call
+    (hostcodec.tile_encode_block): every Python<->C crossing holds the
+    GIL, so fusing format+lift+entropy into a single crossing is a
+    direct pool-parallelism win."""
     from ako_tpu.runtime import hostcodec
+    from ako_tpu.runtime.kagari import effective_method
 
     tile = image[t.y : t.y + t.h, t.x : t.x + t.w, :]
+    if s.wavelet == Wavelet.NONE:
+        tds = t.w * t.h * channels * 2
+        qg = ()
+    else:
+        tds = geometry.tile_data_size(t.w, t.h) * channels
+        qg = _host_qg(t.w, t.h, channels, s.quantization, s.gate, s.chroma_loss)
+    if effective_method(s.compression) == Compression.KAGARI:
+        payload = hostcodec.tile_encode_block(
+            tile, s.wavelet, s.wrap, s.color, qg, tds - BLOCK_HEAD.size,
+            bool(s.discard_non_visible),
+        )
+        if payload is None:
+            raise AkoError(Status.ERROR, "incompressible tile")
+        return BLOCK_HEAD.pack(len(payload)) + payload
     planes = hostcodec.u8_to_planes(tile, s.color, bool(s.discard_non_visible))
     if s.wavelet == Wavelet.NONE:
         stream = np.ascontiguousarray(planes).reshape(-1)
-        tds = t.w * t.h * channels * 2
     else:
-        qg = _host_qg(t.w, t.h, channels, s.quantization, s.gate, s.chroma_loss)
         stream = hostcodec.tile_lift(planes, s.wavelet, s.wrap, qg)
-        tds = geometry.tile_data_size(t.w, t.h) * channels
     if s.compression == Compression.NONE:
         return stream.tobytes()
     block = compress_block(stream, tds, s.compression)

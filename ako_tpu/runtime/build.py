@@ -168,5 +168,36 @@ def load() -> ctypes.CDLL:
             ctypes.c_int32,
             ctypes.c_void_p,
         ]
+        lib.akort_tile_encode_block.restype = ctypes.c_size_t
+        lib.akort_tile_encode_block.argtypes = [
+            ctypes.c_void_p,  # tile u8
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_void_p,  # qs
+            ctypes.c_void_p,  # gs
+            ctypes.c_size_t,  # stream elems
+            ctypes.c_void_p,  # out
+            ctypes.c_size_t,  # out capacity
+            ctypes.c_void_p,  # rc out
+        ]
+        lib.akort_tile_decode_block.restype = ctypes.c_int32
+        lib.akort_tile_decode_block.argtypes = [
+            ctypes.c_void_p,  # payload
+            ctypes.c_size_t,
+            ctypes.c_size_t,  # count
+            ctypes.c_size_t,  # output capacity bytes
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_void_p,  # pixels out
+        ]
         _lib = lib
         return _lib

@@ -148,9 +148,17 @@ class PipelineEncoder:
         with cf.ThreadPoolExecutor(max_workers=self.workers) as pool:
             pending: deque = deque()
 
+            def encode_span(image, span, channels):
+                return [
+                    encode_tile_block_host(image, t, s, channels)
+                    for t in span
+                ]
+
             def drain():
                 head, futs = pending.popleft()
-                blob = head + b"".join(f.result() for f in futs)
+                blob = head + b"".join(
+                    blk for f in futs for blk in f.result()
+                )
                 return (blob, None) if keep_residue else blob
 
             for image in images:
@@ -160,14 +168,19 @@ class PipelineEncoder:
                 h, w, channels = image.shape
                 head = container.head_write(channels, w, h, s)
                 grid = geometry.tile_grid(w, h, s.tiles_dimension)
+                # a handful of tiles per task: submit/future overhead
+                # runs under the GIL, so one task per tile serializes
+                # ~80 submits/image; chunks of ~4 keep load balance
+                # across the pool while cutting that 4x
+                span = max(1, len(grid) // (4 * self.workers))
                 pending.append(
                     (
                         head,
                         [
                             pool.submit(
-                                encode_tile_block_host, image, t, s, channels
+                                encode_span, image, grid[i : i + span], channels
                             )
-                            for t in grid
+                            for i in range(0, len(grid), span)
                         ],
                     )
                 )
@@ -282,8 +295,8 @@ class PipelineDecoder:
         image = np.empty((h, w, channels), dtype=np.uint8)
         if isinstance(dispatched, tuple) and dispatched[0] == "host":
             for fut in dispatched[1]:
-                t, pix = fut.result()
-                image[t.y : t.y + t.h, t.x : t.x + t.w] = pix
+                for t, pix in fut.result():
+                    image[t.y : t.y + t.h, t.x : t.x + t.w] = pix
             return image
         for tiles, th, tw, pixels_dev in dispatched:
             place_pixels(image, tiles, th, tw, pixels_dev)
@@ -313,7 +326,11 @@ class PipelineDecoder:
         channels, w, h, s = container.head_read(view)
         _check_decode_budget(w, h, channels)
         if host_decode_mode():
-            from ako_tpu.runtime.hostcodec import tile_decode_pixels
+            from ako_tpu.decode import tile_block_sizes
+            from ako_tpu.runtime.hostcodec import (
+                tile_decode_block,
+                tile_decode_pixels,
+            )
 
             grid = geometry.tile_grid(w, h, s.tiles_dimension)
             cursor = container.HEAD_SIZE
@@ -321,15 +338,36 @@ class PipelineDecoder:
             for t in grid:
                 payload, cursor = _read_tile_block(view, cursor, t, s, channels)
                 blocks.append((t, payload))
+            # plain-Kagari blobs decode in ONE native call per tile
+            # (entropy+unlift+format; each Python<->C crossing holds
+            # the GIL). MANBAVARAN payloads need the auto-detect walk,
+            # NONE the raw reinterpret — they keep the split path.
+            fused = s.compression == Compression.KAGARI
 
             def one(args):
                 t, payload = args
+                if fused:
+                    tds, spacing = tile_block_sizes(t, s, channels)
+                    pix = tile_decode_block(
+                        payload, tds // 2, tds + spacing, t.w, t.h,
+                        channels, s.wavelet, s.wrap, s.color,
+                    )
+                    if pix is None:
+                        raise AkoError(Status.BROKEN_INPUT)
+                    return t, pix
                 values = _entropy_one(payload, t, s, channels)
                 return t, tile_decode_pixels(
                     values, t.w, t.h, channels, s.wavelet, s.wrap, s.color
                 )
 
-            futs = [pool.submit(one, b) for b in blocks]
+            def span(items):  # submit overhead runs under the GIL:
+                return [one(b) for b in items]  # a few tiles per task
+
+            k = max(1, len(blocks) // (4 * self.workers))
+            futs = [
+                pool.submit(span, blocks[i : i + k])
+                for i in range(0, len(blocks), k)
+            ]
             return ("host", futs), (h, w, channels)
         if device_entropy and s.compression in (
             Compression.KAGARI,

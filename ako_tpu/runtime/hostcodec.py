@@ -159,3 +159,97 @@ def tile_encode_stream(
     return tile_lift(
         u8_to_planes(tile_u8, color, discard_non_visible), wavelet, wrap, qg
     )
+
+
+def tile_encode_block(
+    tile_u8: np.ndarray,
+    wavelet: Wavelet,
+    wrap: Wrap,
+    color: Color,
+    qg,
+    output_capacity: int,
+    discard_non_visible: bool = False,
+) -> bytes | None:
+    """Interleaved u8 tile -> Kagari payload (no frame head) in ONE
+    native call (format + lift + entropy; akort_tile_encode_block).
+    None when incompressible. Every Python<->C crossing runs under the
+    GIL, so the pipeline's per-tile call count is a direct serial cost
+    — this fuses three crossings into one."""
+    from ako_tpu.core import geometry
+
+    if output_capacity <= 0:
+        return None
+    lib = load()
+    tile_u8 = np.ascontiguousarray(tile_u8, dtype=np.uint8)
+    h, w, channels = tile_u8.shape
+    if wavelet == Wavelet.NONE:
+        count = w * h * channels
+    else:
+        count = geometry.tile_data_size(w, h) * channels // 2
+    out = np.empty(max(output_capacity, 1), dtype=np.uint8)
+    qs = np.ascontiguousarray(
+        [q for level_qs, _ in qg for q in level_qs], dtype=np.int32
+    )
+    gs = np.ascontiguousarray(
+        [g for _, level_gs in qg for g in level_gs], dtype=np.int32
+    )
+    rc = np.zeros(1, dtype=np.int32)
+    n = lib.akort_tile_encode_block(
+        tile_u8.ctypes.data,
+        w,
+        h,
+        channels,
+        int(wavelet),
+        int(wrap),
+        int(color),
+        1 if discard_non_visible else 0,
+        qs.ctypes.data if qs.size else None,
+        gs.ctypes.data if gs.size else None,
+        count,
+        out.ctypes.data,
+        output_capacity,
+        rc.ctypes.data,
+    )
+    if n == 0:
+        if int(rc[0]) not in (0, 1):
+            raise AkoError(Status.ERROR, f"native tile encode rc={int(rc[0])}")
+        return None
+    return out[:n].tobytes()
+
+
+def tile_decode_block(
+    payload,
+    count: int,
+    output_capacity_bytes: int,
+    tile_w: int,
+    tile_h: int,
+    channels: int,
+    wavelet: Wavelet,
+    wrap: Wrap,
+    color: Color,
+) -> np.ndarray | None:
+    """Kagari payload -> interleaved u8 pixels in ONE native call
+    (entropy + unlift + inverse color; akort_tile_decode_block). None
+    on broken input (decode failure or trailing bytes — the
+    decompress_block contract)."""
+    lib = load()
+    src = np.frombuffer(payload, dtype=np.uint8)
+    out = np.empty((tile_h, tile_w, channels), dtype=np.uint8)
+    rc = lib.akort_tile_decode_block(
+        src.ctypes.data if src.size else None,
+        src.nbytes,
+        count,
+        output_capacity_bytes,
+        tile_w,
+        tile_h,
+        channels,
+        int(wavelet),
+        int(wrap),
+        int(color),
+        out.ctypes.data,
+    )
+    if rc == 1:
+        return None
+    if rc != 0:
+        raise AkoError(Status.ERROR, f"native tile decode rc={rc}")
+    return out

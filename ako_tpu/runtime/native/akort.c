@@ -1567,3 +1567,82 @@ API size_t akort_manba_sync(size_t count, const void *input, size_t input_size,
 	(void)extras;
 	return input_size;
 }
+
+/* ------------------------------------------------------------------ */
+/* Whole-tile single-call compositions: one native call per tile      */
+/* instead of three ctypes crossings + Python glue. The host pipeline */
+/* fans tiles out on a thread pool; every Python<->C transition runs  */
+/* under the GIL, so per-tile call count is a direct serial cost      */
+/* (runtime/hostcodec.py tile_encode_block / tile_decode_block).      */
+
+/* u8 tile -> Kagari payload (no 4-byte frame head; the caller packs
+   it). Returns payload bytes, 0 when incompressible (capacity) or on
+   allocation failure (distinguished via *rc_out: 0 ok, -2 alloc). */
+API size_t akort_tile_encode_block(const uint8_t *tile, int32_t tile_w,
+                                   int32_t tile_h, int32_t channels,
+                                   int32_t wavelet, int32_t wrap,
+                                   int32_t color, int32_t discard_nv,
+                                   const int32_t *qs, const int32_t *gs,
+                                   size_t stream_elems, uint8_t *out,
+                                   size_t out_capacity, int32_t *rc_out)
+{
+	const size_t area = (size_t)tile_w * tile_h;
+	*rc_out = 0;
+	int16_t *mem = (int16_t *)malloc((area * (size_t)channels + stream_elems) * 2);
+	if (mem == NULL) {
+		*rc_out = -2;
+		return 0;
+	}
+	int16_t *planes = mem;
+	int16_t *stream = mem + area * (size_t)channels;
+	akort_u8_to_planes(tile, tile_w, tile_h, channels, color, discard_nv,
+	                   planes);
+	const int32_t rc = akort_tile_lift(planes, tile_w, tile_h, channels,
+	                                   wavelet, wrap, qs, gs, stream,
+	                                   stream_elems);
+	if (rc != 0) {
+		free(mem);
+		*rc_out = rc;
+		return 0;
+	}
+	const size_t n = akort_kagari_encode(stream, stream_elems * 2, out,
+	                                     out_capacity);
+	free(mem);
+	return n;
+}
+
+/* Kagari payload -> u8 pixels. Returns 0 on success, 1 on broken
+   input (decode failure or consumed != payload size — the
+   decompress_block contract), -2 on allocation failure. */
+API int32_t akort_tile_decode_block(const uint8_t *payload,
+                                    size_t payload_size, size_t count,
+                                    size_t output_capacity_bytes,
+                                    int32_t tile_w, int32_t tile_h,
+                                    int32_t channels, int32_t wavelet,
+                                    int32_t wrap, int32_t color,
+                                    uint8_t *pixels_out)
+{
+	const size_t area = (size_t)tile_w * tile_h;
+	const size_t cap = output_capacity_bytes < 2 ? 2 : output_capacity_bytes;
+	int16_t *mem =
+	    (int16_t *)calloc(cap / 2 + area * (size_t)channels, 2);
+	if (mem == NULL)
+		return -2;
+	int16_t *values = mem;
+	int16_t *planes = mem + cap / 2;
+	const size_t consumed = akort_kagari_decode(count, payload, payload_size,
+	                                            values, output_capacity_bytes);
+	if (consumed == 0 || consumed != payload_size) {
+		free(mem);
+		return 1;
+	}
+	const int32_t rc = akort_tile_unlift(values, count, tile_w, tile_h,
+	                                     channels, wavelet, wrap, planes);
+	if (rc != 0) {
+		free(mem);
+		return 1;
+	}
+	akort_planes_to_u8(planes, tile_w, tile_h, channels, color, pixels_out);
+	free(mem);
+	return 0;
+}
