@@ -42,6 +42,12 @@ size_t akort_manba_sync(size_t count, const void *input, size_t input_size,
 int32_t akort_tile_unlift(const int16_t *stream, size_t stream_elems,
                           int32_t tile_w, int32_t tile_h, int32_t channels,
                           int32_t wavelet, int32_t wrap, int16_t *planes_out);
+int32_t akort_tile_decode_block(const uint8_t *payload, size_t payload_size,
+                                size_t count, size_t output_capacity_bytes,
+                                int32_t tile_w, int32_t tile_h,
+                                int32_t channels, int32_t wavelet,
+                                int32_t wrap, int32_t color,
+                                uint8_t *pixels_out);
 
 static uint64_t rng_state = 0x9E3779B97F4A7C15ull;
 
@@ -107,7 +113,10 @@ static void hit_parsers(const uint8_t *payload, size_t len)
 }
 
 /* The unlift's stream length is geometry-validated, but drive it with
- * hostile geometry anyway (wrong sizes must be rejected, never read). */
+ * hostile geometry anyway (wrong sizes must be rejected, never read).
+ * The single-call block decoder (the host-decode pipeline's entry for
+ * untrusted payload bytes) gets the same treatment: hostile payloads
+ * against every geometry/wavelet/wrap/color combination. */
 static void hit_unlift(const int16_t *stream, size_t elems)
 {
 	static const int32_t dims[][2] = {{8, 8}, {16, 16}, {3, 5}, {33, 47}};
@@ -116,10 +125,21 @@ static void hit_unlift(const int16_t *stream, size_t elems)
 		for (int32_t ch = 1; ch <= 4; ch += 3) {
 			int16_t *planes =
 			    (int16_t *)malloc((size_t)tw * th * ch * 2);
-			for (int32_t wav = 0; wav < 4; wav++)
+			uint8_t *pix = (uint8_t *)malloc((size_t)tw * th * ch);
+			for (int32_t wav = 0; wav < 4; wav++) {
 				akort_tile_unlift(stream, elems, tw, th, ch, wav,
 				                  (int32_t)rng_below(4), planes);
+				/* count/capacity both honest and lying */
+				const size_t counts[2] = {elems, (size_t)tw * th * ch};
+				for (int ci = 0; ci < 2; ci++)
+					akort_tile_decode_block(
+					    (const uint8_t *)stream, elems * 2, counts[ci],
+					    2 * counts[ci] + 2 * (size_t)(tw + th) * 2,
+					    tw, th, ch, wav, (int32_t)rng_below(4),
+					    (int32_t)rng_below(4), pix);
+			}
 			free(planes);
+			free(pix);
 		}
 	}
 }
