@@ -218,35 +218,48 @@ API size_t akort_kagari_encode(const void *input, size_t input_size, void *outpu
 		return 0;
 
 	int16_t prev = *in++;
-	uint32_t run = 0;
 
-	for (; in < in_lim; in++) {
-		if (*in == prev) {
-			run++;
-			if (run <= RLE_TRIGGER) {
-				if (sink_put(&sink, (uint16_t)(zigzag16(*in) + 1)) == 0)
-					return 0;
-			} else if (run == VALUE_MAX - 1) {
-				/* emit before the run counter overflows the code range */
-				if (sink_put(&sink, (uint16_t)(run - RLE_TRIGGER + 1)) == 0)
-					return 0;
-				run = 0;
-			}
-		} else {
-			if (run >= RLE_TRIGGER) {
-				if (sink_put(&sink, (uint16_t)(run - RLE_TRIGGER + 1)) == 0)
-					return 0;
-			}
+	/* Runs are scanned ahead in one tight (vectorizable) compare loop
+	   and their emissions replayed in bulk — the token sequence is
+	   IDENTICAL to the reference's per-value counter walk
+	   (kagari.c:260-297): literals for counter 1..RLE_TRIGGER, silence
+	   until the forced flush at counter 65534 (token 65533, counter
+	   reset, cycle repeats), and an end-of-run token counter-2+1 when
+	   the counter sits >= RLE_TRIGGER at the mismatch/stream end. */
+	while (in < in_lim) {
+		if (*in != prev) {
 			if (sink_put(&sink, (uint16_t)(zigzag16(*in) + 1)) == 0)
 				return 0;
-			prev = *in;
-			run = 0;
+			prev = *in++;
+			continue;
 		}
-	}
-
-	if (run >= RLE_TRIGGER) {
-		if (sink_put(&sink, (uint16_t)(run - RLE_TRIGGER + 1)) == 0)
-			return 0;
+		size_t L = 1;
+		while (in + L < in_lim && in[L] == prev)
+			L++;
+		in += L;
+		const uint16_t zz = (uint16_t)(zigzag16(prev) + 1);
+		while (L != 0) {
+			const size_t lits = L < RLE_TRIGGER ? L : RLE_TRIGGER;
+			for (size_t i = 0; i < lits; i++)
+				if (sink_put(&sink, zz) == 0)
+					return 0;
+			L -= lits;
+			const size_t cap = (size_t)(VALUE_MAX - 1 - RLE_TRIGGER);
+			const size_t chunk = L < cap ? L : cap;
+			L -= chunk;
+			if (lits == RLE_TRIGGER) {
+				if (chunk == cap) {
+					/* forced flush at counter 65534 */
+					if (sink_put(&sink,
+					             (uint16_t)(VALUE_MAX - 1 - RLE_TRIGGER + 1)) == 0)
+						return 0;
+				} else {
+					/* run ended: token = counter - trigger + 1 */
+					if (sink_put(&sink, (uint16_t)(chunk + 1)) == 0)
+						return 0;
+				}
+			}
+		}
 	}
 
 	return sink_finish(&sink, (const uint8_t *)output);
