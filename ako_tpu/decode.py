@@ -287,6 +287,43 @@ def _fire(events, tile_no, total, event, user):
         events(tile_no, total, event, user)
 
 
+class HostDecodeSpanPlan(NamedTuple):
+    """Per-(geometry, wavelet) arrays for the batched native span
+    decoder (akort_tile_decode_spans) — the decode twin of
+    encode._host_span_plan. All in wire order, read-only."""
+
+    rects: np.ndarray  # (n, 4) i32: x, y, w, h
+    counts: np.ndarray  # (n,) i64 coefficient counts per tile
+    caps: np.ndarray  # (n,) i64 output capacity bytes (tds + spacing)
+
+
+@functools.lru_cache(maxsize=64)
+def _host_decode_plan(
+    image_w: int,
+    image_h: int,
+    channels: int,
+    tiles_dimension: int,
+    wavelet: Wavelet,
+) -> HostDecodeSpanPlan:
+    grid = geometry.tile_grid(image_w, image_h, tiles_dimension)
+    n = len(grid)
+    rects = np.empty((n, 4), np.int32)
+    counts = np.empty(n, np.int64)
+    caps = np.empty(n, np.int64)
+    for i, t in enumerate(grid):
+        rects[i] = (t.x, t.y, t.w, t.h)
+        if wavelet != Wavelet.NONE:
+            tds = geometry.tile_data_size(t.w, t.h) * channels
+            spacing = geometry.planes_spacing(t.w, t.h)
+        else:
+            tds, spacing = t.w * t.h * channels * 2, 0
+        counts[i] = tds // 2
+        caps[i] = tds + spacing
+    for a in (rects, counts, caps):
+        a.setflags(write=False)
+    return HostDecodeSpanPlan(rects, counts, caps)
+
+
 def tile_block_sizes(t, s: Settings, channels: int):
     """(tile_data_size bytes, planes_spacing elements) for one tile —
     the decode-side size contract (reference decode.c:133-142)."""

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -87,6 +87,83 @@ def _host_qg(
     (hostcodec.tile_lift signature), cached like the device programs."""
     schedule = geometry.lift_schedule(tile_w, tile_h)
     return level_qg(schedule, channels, quantization, gate, chroma_loss)
+
+
+class HostSpanPlan(NamedTuple):
+    """Per-(geometry, settings) arrays for the batched native span
+    encoder (akort_tile_encode_spans): everything the C side needs per
+    tile, precomputed once and cached, so the per-image Python cost of
+    the host-native pipeline is one buffer allocation + a slice join.
+    All arrays are in wire (tile-index) order and read-only."""
+
+    rects: np.ndarray  # (n, 4) i32: x, y, w, h
+    qg_off: np.ndarray  # (n,) i64 offsets into qs/gs
+    qs: np.ndarray  # i32 concatenated per-tile quantization steps
+    gs: np.ndarray  # i32 concatenated per-tile gate thresholds
+    counts: np.ndarray  # (n,) i64 stream elements per tile
+    caps: np.ndarray  # (n,) i64 payload capacity bytes per tile
+    out_off: np.ndarray  # (n,) i64 block-region starts in the out buffer
+    total_bytes: int  # out buffer size: sum(caps + BLOCK_HEAD.size)
+
+
+@functools.lru_cache(maxsize=64)
+def _host_span_plan(
+    image_w: int,
+    image_h: int,
+    channels: int,
+    tiles_dimension: int,
+    wavelet: Wavelet,
+    quantization: int,
+    gate: int,
+    chroma_loss: int,
+) -> HostSpanPlan:
+    grid = geometry.tile_grid(image_w, image_h, tiles_dimension)
+    n = len(grid)
+    rects = np.empty((n, 4), np.int32)
+    qg_off = np.empty(n, np.int64)
+    counts = np.empty(n, np.int64)
+    caps = np.empty(n, np.int64)
+    qs_parts: list = []
+    gs_parts: list = []
+    by_shape: dict = {}
+    off = 0
+    for i, t in enumerate(grid):
+        rects[i] = (t.x, t.y, t.w, t.h)
+        if wavelet == Wavelet.NONE:
+            tds = t.w * t.h * channels * 2
+            counts[i] = t.w * t.h * channels
+            q_arr = g_arr = np.empty(0, np.int32)
+        else:
+            tds = geometry.tile_data_size(t.w, t.h) * channels
+            counts[i] = tds // 2
+            key = (t.w, t.h)
+            if key not in by_shape:
+                qg = _host_qg(t.w, t.h, channels, quantization, gate, chroma_loss)
+                by_shape[key] = (
+                    np.ascontiguousarray(
+                        [q for lq, _ in qg for q in lq], dtype=np.int32
+                    ),
+                    np.ascontiguousarray(
+                        [g for _, lg in qg for g in lg], dtype=np.int32
+                    ),
+                )
+            q_arr, g_arr = by_shape[key]
+        qg_off[i] = off
+        off += q_arr.size
+        qs_parts.append(q_arr)
+        gs_parts.append(g_arr)
+        # region = 4-byte block head + payload capacity (the
+        # incompressible bound, encode_tile_block_host's contract)
+        caps[i] = max(0, tds - BLOCK_HEAD.size)
+    qs = np.concatenate(qs_parts) if off else np.empty(0, np.int32)
+    gs = np.concatenate(gs_parts) if off else np.empty(0, np.int32)
+    regions = caps + BLOCK_HEAD.size
+    out_off = np.concatenate(([0], np.cumsum(regions[:-1]))).astype(np.int64)
+    for a in (rects, qg_off, qs, gs, counts, caps, out_off):
+        a.setflags(write=False)
+    return HostSpanPlan(
+        rects, qg_off, qs, gs, counts, caps, out_off, int(regions.sum())
+    )
 
 
 def encode_tile_block_host(

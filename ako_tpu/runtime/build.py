@@ -199,5 +199,41 @@ def load() -> ctypes.CDLL:
             ctypes.c_int32,
             ctypes.c_void_p,  # pixels out
         ]
+        lib.akort_tile_encode_spans.restype = ctypes.c_int32
+        lib.akort_tile_encode_spans.argtypes = [
+            ctypes.c_void_p,  # image u8
+            ctypes.c_int64,  # row stride bytes
+            ctypes.c_int32,  # channels
+            ctypes.c_int32,  # wavelet
+            ctypes.c_int32,  # wrap
+            ctypes.c_int32,  # color
+            ctypes.c_int32,  # discard_nv
+            ctypes.c_int32,  # n tiles
+            ctypes.c_void_p,  # rects i32 (n, 4)
+            ctypes.c_void_p,  # qg offsets i64 (n)
+            ctypes.c_void_p,  # qs
+            ctypes.c_void_p,  # gs
+            ctypes.c_void_p,  # counts i64 (n)
+            ctypes.c_void_p,  # caps i64 (n)
+            ctypes.c_void_p,  # out
+            ctypes.c_void_p,  # out offsets i64 (n)
+            ctypes.c_void_p,  # sizes out i64 (n)
+        ]
+        lib.akort_tile_decode_spans.restype = ctypes.c_int32
+        lib.akort_tile_decode_spans.argtypes = [
+            ctypes.c_void_p,  # blob
+            ctypes.c_void_p,  # payload offsets i64 (n)
+            ctypes.c_void_p,  # payload sizes i64 (n)
+            ctypes.c_void_p,  # counts i64 (n)
+            ctypes.c_void_p,  # caps i64 (n)
+            ctypes.c_int32,  # n tiles
+            ctypes.c_void_p,  # rects i32 (n, 4)
+            ctypes.c_int64,  # row stride bytes
+            ctypes.c_int32,  # channels
+            ctypes.c_int32,  # wavelet
+            ctypes.c_int32,  # wrap
+            ctypes.c_int32,  # color
+            ctypes.c_void_p,  # image out
+        ]
         _lib = lib
         return _lib

@@ -133,17 +133,25 @@ class PipelineEncoder:
     def _encode_iter_host(
         self, images: Iterable[np.ndarray], keep_residue: bool = False
     ) -> Iterator[bytes]:
-        """Host-native encode (AKO_TPU_ENCODE=host): every tile's
-        format + lift + entropy block rides the worker pool as its own
-        future (tiles are independent; the native calls release the
-        GIL), with up to AKO_ENC_INFLIGHT images' tiles in flight so
-        the pool never drains at image boundaries. Zero device-link
-        traffic; blobs byte-identical to the device paths'."""
+        """Host-native encode (AKO_TPU_ENCODE=host): Kagari-effective
+        blobs encode via BATCHED native span calls — each worker task
+        is ONE Python<->C crossing covering ~1/(2*workers) of the
+        image's tiles (akort_tile_encode_spans gathers rects, lifts,
+        entropy-codes and frames the blocks itself), so per-tile Python
+        glue (slicing, qg lookup, struct packing — all GIL-bound)
+        disappears from the parallel section. Up to AKO_ENC_INFLIGHT
+        images stay in flight so the pool never drains at image
+        boundaries. Zero device-link traffic; blobs byte-identical to
+        the device paths'. Non-Kagari compressions keep the per-tile
+        path (rare, and MANBAVARAN needs its own assembler)."""
         import os
 
-        from ako_tpu.encode import encode_tile_block_host
+        from ako_tpu.encode import _host_span_plan, encode_tile_block_host
+        from ako_tpu.runtime import hostcodec
+        from ako_tpu.runtime.kagari import BLOCK_HEAD, effective_method
 
         s = self.settings
+        spans_ok = effective_method(s.compression) == Compression.KAGARI
         depth = max(1, int(os.environ.get("AKO_ENC_INFLIGHT", "3")))
         with cf.ThreadPoolExecutor(max_workers=self.workers) as pool:
             pending: deque = deque()
@@ -155,35 +163,77 @@ class PipelineEncoder:
                 ]
 
             def drain():
-                head, futs = pending.popleft()
+                head, futs, spanned = pending.popleft()
+                if not spanned:
+                    blob = head + b"".join(
+                        blk for f in futs for blk in f.result()
+                    )
+                    return (blob, None) if keep_residue else blob
+                out, out_off, sizes = spanned
+                for f in futs:
+                    f.result()
+                if not sizes.all():
+                    raise AkoError(Status.ERROR, "incompressible tile")
+                mv = memoryview(out)
+                hs = BLOCK_HEAD.size
                 blob = head + b"".join(
-                    blk for f in futs for blk in f.result()
+                    mv[o : o + hs + sz]
+                    for o, sz in zip(out_off.tolist(), sizes.tolist())
                 )
                 return (blob, None) if keep_residue else blob
 
             for image in images:
-                image = np.asarray(image)
+                image = np.ascontiguousarray(np.asarray(image))
                 if image.ndim == 2:
                     image = image[:, :, None]
                 h, w, channels = image.shape
                 head = container.head_write(channels, w, h, s)
                 grid = geometry.tile_grid(w, h, s.tiles_dimension)
-                # a handful of tiles per task: submit/future overhead
-                # runs under the GIL, so one task per tile serializes
-                # ~80 submits/image; chunks of ~4 keep load balance
-                # across the pool while cutting that 4x
-                span = max(1, len(grid) // (4 * self.workers))
-                pending.append(
-                    (
-                        head,
-                        [
-                            pool.submit(
-                                encode_span, image, grid[i : i + span], channels
-                            )
-                            for i in range(0, len(grid), span)
-                        ],
+                # ~2 tasks per worker per image: coarse enough that
+                # submit/result overhead is negligible, fine enough to
+                # load-balance edge-tile size variance across the pool
+                k = max(1, -(-len(grid) // (2 * self.workers)))
+                if spans_ok:
+                    plan = _host_span_plan(
+                        w, h, channels, s.tiles_dimension, s.wavelet,
+                        s.quantization, s.gate, s.chroma_loss,
                     )
-                )
+                    out = np.empty(plan.total_bytes, np.uint8)
+                    sizes = np.zeros(len(grid), np.int64)
+                    futs = [
+                        pool.submit(
+                            hostcodec.tile_encode_spans,
+                            image,
+                            plan.rects[i : i + k],
+                            plan.qg_off[i : i + k],
+                            plan.qs,
+                            plan.gs,
+                            plan.counts[i : i + k],
+                            plan.caps[i : i + k],
+                            out,
+                            plan.out_off[i : i + k],
+                            sizes[i : i + k],
+                            s.wavelet,
+                            s.wrap,
+                            s.color,
+                            bool(s.discard_non_visible),
+                        )
+                        for i in range(0, len(grid), k)
+                    ]
+                    pending.append((head, futs, (out, plan.out_off, sizes)))
+                else:
+                    pending.append(
+                        (
+                            head,
+                            [
+                                pool.submit(
+                                    encode_span, image, grid[i : i + k], channels
+                                )
+                                for i in range(0, len(grid), k)
+                            ],
+                            None,
+                        )
+                    )
                 if len(pending) >= depth:
                     yield drain()
             while pending:
@@ -292,6 +342,11 @@ class PipelineDecoder:
         from ako_tpu.decode import place_pixels
 
         h, w, channels = shape
+        if isinstance(dispatched, tuple) and dispatched[0] == "hostspan":
+            _, futs, image = dispatched
+            for fut in futs:  # C wrote pixels in place; just propagate
+                fut.result()  # any span's BROKEN_INPUT
+            return image
         image = np.empty((h, w, channels), dtype=np.uint8)
         if isinstance(dispatched, tuple) and dispatched[0] == "host":
             for fut in dispatched[1]:
@@ -326,35 +381,63 @@ class PipelineDecoder:
         channels, w, h, s = container.head_read(view)
         _check_decode_budget(w, h, channels)
         if host_decode_mode():
-            from ako_tpu.decode import tile_block_sizes
+            from ako_tpu.decode import _host_decode_plan
             from ako_tpu.runtime.hostcodec import (
-                tile_decode_block,
                 tile_decode_pixels,
+                tile_decode_spans,
             )
 
             grid = geometry.tile_grid(w, h, s.tiles_dimension)
+            # plain-Kagari blobs decode via BATCHED native span calls:
+            # one Python<->C crossing per ~1/(2*workers) of the tiles,
+            # pixels written by C straight into the shared image buffer
+            # at each rect (disjoint regions). MANBAVARAN payloads need
+            # the auto-detect walk, NONE the raw reinterpret — they
+            # keep the per-tile path.
+            if s.compression == Compression.KAGARI:
+                plan = _host_decode_plan(w, h, channels, s.tiles_dimension, s.wavelet)
+                n = len(grid)
+                pay_off = np.empty(n, np.int64)
+                pay_size = np.empty(n, np.int64)
+                cursor = container.HEAD_SIZE
+                for i, t in enumerate(grid):
+                    payload, cursor = _read_tile_block(view, cursor, t, s, channels)
+                    pay_size[i] = len(payload)
+                    pay_off[i] = cursor - len(payload)
+                blob_arr = np.frombuffer(blob, dtype=np.uint8)
+                image = np.empty((h, w, channels), dtype=np.uint8)
+                k = max(1, -(-n // (2 * self.workers)))
+
+                def span_call(lo, hi):
+                    rc = tile_decode_spans(
+                        blob_arr,
+                        pay_off[lo:hi],
+                        pay_size[lo:hi],
+                        plan.counts[lo:hi],
+                        plan.caps[lo:hi],
+                        plan.rects[lo:hi],
+                        image,
+                        s.wavelet,
+                        s.wrap,
+                        s.color,
+                    )
+                    if rc != 0:
+                        raise AkoError(Status.BROKEN_INPUT)
+
+                futs = [
+                    pool.submit(span_call, lo, min(lo + k, n))
+                    for lo in range(0, n, k)
+                ]
+                return ("hostspan", futs, image), (h, w, channels)
+
             cursor = container.HEAD_SIZE
             blocks = []
             for t in grid:
                 payload, cursor = _read_tile_block(view, cursor, t, s, channels)
                 blocks.append((t, payload))
-            # plain-Kagari blobs decode in ONE native call per tile
-            # (entropy+unlift+format; each Python<->C crossing holds
-            # the GIL). MANBAVARAN payloads need the auto-detect walk,
-            # NONE the raw reinterpret — they keep the split path.
-            fused = s.compression == Compression.KAGARI
 
             def one(args):
                 t, payload = args
-                if fused:
-                    tds, spacing = tile_block_sizes(t, s, channels)
-                    pix = tile_decode_block(
-                        payload, tds // 2, tds + spacing, t.w, t.h,
-                        channels, s.wavelet, s.wrap, s.color,
-                    )
-                    if pix is None:
-                        raise AkoError(Status.BROKEN_INPUT)
-                    return t, pix
                 values = _entropy_one(payload, t, s, channels)
                 return t, tile_decode_pixels(
                     values, t.w, t.h, channels, s.wavelet, s.wrap, s.color

@@ -253,3 +253,93 @@ def tile_decode_block(
     if rc != 0:
         raise AkoError(Status.ERROR, f"native tile decode rc={rc}")
     return out
+
+
+def tile_encode_spans(
+    image: np.ndarray,
+    rects: np.ndarray,
+    qg_off: np.ndarray,
+    qs: np.ndarray,
+    gs: np.ndarray,
+    counts: np.ndarray,
+    caps: np.ndarray,
+    out: np.ndarray,
+    out_off: np.ndarray,
+    sizes: np.ndarray,
+    wavelet: Wavelet,
+    wrap: Wrap,
+    color: Color,
+    discard_non_visible: bool = False,
+) -> None:
+    """Encode a SPAN of tiles in one native call
+    (akort_tile_encode_spans): the C side gathers each rect out of the
+    interleaved u8 image, runs format + lift + entropy, and writes the
+    framed block (4-byte head + payload) at out[out_off[i]], recording
+    payload bytes in sizes[i] (0 = incompressible). All per-tile arrays
+    come from encode._host_span_plan (cached per geometry/settings);
+    callers pass row-slices of them to split one image across the
+    worker pool. Byte-identical to per-tile tile_encode_block calls."""
+    lib = load()
+    n = rects.shape[0]
+    rc = lib.akort_tile_encode_spans(
+        image.ctypes.data,
+        image.strides[0],
+        image.shape[2],
+        int(wavelet),
+        int(wrap),
+        int(color),
+        1 if discard_non_visible else 0,
+        n,
+        rects.ctypes.data,
+        qg_off.ctypes.data,
+        qs.ctypes.data if qs.size else None,
+        gs.ctypes.data if gs.size else None,
+        counts.ctypes.data,
+        caps.ctypes.data,
+        out.ctypes.data,
+        out_off.ctypes.data,
+        sizes.ctypes.data,
+    )
+    if rc != 0:
+        raise AkoError(Status.ERROR, f"native span encode rc={rc}")
+
+
+def tile_decode_spans(
+    blob: np.ndarray,
+    pay_off: np.ndarray,
+    pay_size: np.ndarray,
+    counts: np.ndarray,
+    caps: np.ndarray,
+    rects: np.ndarray,
+    image_out: np.ndarray,
+    wavelet: Wavelet,
+    wrap: Wrap,
+    color: Color,
+) -> int:
+    """Decode a SPAN of tiles in one native call
+    (akort_tile_decode_spans): each payload at blob[pay_off[i]] is
+    entropy-decoded + unlifted + color-inverted straight into the
+    interleaved u8 image at its rect (spans over disjoint rects run
+    concurrently against the same buffer). Returns 0 on success, the
+    1-based index of the first broken tile in THIS span, or raises on
+    allocation failure."""
+    lib = load()
+    n = rects.shape[0]
+    rc = lib.akort_tile_decode_spans(
+        blob.ctypes.data,
+        pay_off.ctypes.data,
+        pay_size.ctypes.data,
+        counts.ctypes.data,
+        caps.ctypes.data,
+        n,
+        rects.ctypes.data,
+        image_out.strides[0],
+        image_out.shape[2],
+        int(wavelet),
+        int(wrap),
+        int(color),
+        image_out.ctypes.data,
+    )
+    if rc == -2:
+        raise AkoError(Status.ERROR, "native span decode: allocation failure")
+    return rc

@@ -155,7 +155,20 @@ static uint16_t source_get(BitSource *s, int *bits_out)
 		/* plain while loops: entering with used > 56 (possible only on
 		   corrupt input, via acc == 0) must not shift by a negative
 		   count — reading nothing falls through to the acc == 0 check */
-		if (s->pos + ((ACC_BITS - s->used) / 8) < s->lim) {
+		if (s->used < (ACC_BITS - 8) && s->pos + 8 <= s->lim) {
+			/* bulk refill: one unaligned big-endian load supplies
+			   the exact bytes the byte loop would have appended
+			   (top (56-used)-rounded-up bits of the window, OR'd
+			   below the `used` bits already held) */
+			uint64_t w;
+			memcpy(&w, s->pos, 8);
+			w = __builtin_bswap64(w);
+			const int nbytes = (ACC_BITS - 1 - s->used) / 8;
+			w &= ~0ull << (ACC_BITS - 8 * nbytes);
+			s->acc |= w >> s->used;
+			s->used += 8 * nbytes;
+			s->pos += nbytes;
+		} else if (s->pos + ((ACC_BITS - s->used) / 8) < s->lim) {
 			while (s->used < (ACC_BITS - 8)) {
 				s->used += 8;
 				s->acc |= (uint64_t)(*s->pos++) << (ACC_BITS - s->used);
@@ -1657,5 +1670,118 @@ API int32_t akort_tile_decode_block(const uint8_t *payload,
 	}
 	akort_planes_to_u8(planes, tile_w, tile_h, channels, color, pixels_out);
 	free(mem);
+	return 0;
+}
+
+/* ------------------------------------------------------------------ */
+/* Multi-tile span compositions: one native call per SPAN of tiles.   */
+/* The host pipeline's worker pool used to cross Python<->C once per  */
+/* tile plus per-tile numpy glue (tile slicing, qg lookup, framing),  */
+/* all of it under the GIL; with 4 workers that glue serialized ~35%  */
+/* of the wall time (devbench/time_tile.c vs the measured pipeline).  */
+/* A span call takes the WHOLE image pointer plus per-tile geometry   */
+/* arrays precomputed once per (shape, settings) and cached, so the   */
+/* per-tile Python cost drops to a byte-slice join at drain time.     */
+
+/* Encode tiles [0, n) of a span: for each tile i, gather the rect
+   rects[4i..4i+3] (x, y, w, h) out of the interleaved u8 image
+   (row_stride bytes between rows), run the single-call block encoder,
+   and write the 4-byte little-endian block head + payload at
+   out + out_off[i]. sizes[i] = payload bytes (0 = incompressible at
+   caps[i]). Returns 0, or -2 on allocation failure. Byte-identical to
+   per-tile akort_tile_encode_block calls by construction (it IS that
+   call on a gathered copy). */
+API int32_t akort_tile_encode_spans(
+    const uint8_t *image, int64_t row_stride, int32_t channels,
+    int32_t wavelet, int32_t wrap, int32_t color, int32_t discard_nv,
+    int32_t n, const int32_t *rects, const int64_t *qg_off,
+    const int32_t *qs, const int32_t *gs, const int64_t *counts,
+    const int64_t *caps, uint8_t *out, const int64_t *out_off,
+    int64_t *sizes)
+{
+	size_t max_tile = 0;
+	for (int32_t i = 0; i < n; i++) {
+		const size_t bytes = (size_t)rects[4 * i + 2] *
+		                     (size_t)rects[4 * i + 3] *
+		                     (size_t)channels;
+		if (bytes > max_tile)
+			max_tile = bytes;
+	}
+	uint8_t *scratch = (uint8_t *)malloc(max_tile ? max_tile : 1);
+	if (scratch == NULL)
+		return -2;
+	for (int32_t i = 0; i < n; i++) {
+		const int32_t x = rects[4 * i + 0], y = rects[4 * i + 1];
+		const int32_t w = rects[4 * i + 2], h = rects[4 * i + 3];
+		const size_t row = (size_t)w * (size_t)channels;
+		for (int32_t r = 0; r < h; r++)
+			memcpy(scratch + (size_t)r * row,
+			       image + (size_t)(y + r) * (size_t)row_stride +
+			           (size_t)x * (size_t)channels,
+			       row);
+		int32_t rc = 0;
+		const size_t m = akort_tile_encode_block(
+		    scratch, w, h, channels, wavelet, wrap, color, discard_nv,
+		    qs ? qs + qg_off[i] : NULL, gs ? gs + qg_off[i] : NULL,
+		    (size_t)counts[i], out + out_off[i] + 4,
+		    (size_t)caps[i], &rc);
+		if (m == 0 && rc == -2) {
+			free(scratch);
+			return -2;
+		}
+		sizes[i] = (int64_t)m;
+		if (m != 0) {
+			uint8_t *head = out + out_off[i];
+			head[0] = (uint8_t)(m & 0xFF);
+			head[1] = (uint8_t)((m >> 8) & 0xFF);
+			head[2] = (uint8_t)((m >> 16) & 0xFF);
+			head[3] = (uint8_t)((m >> 24) & 0xFF);
+		}
+	}
+	free(scratch);
+	return 0;
+}
+
+/* Decode tiles [0, n) of a span: each tile's payload lives at
+   blob + pay_off[i] (pay_size[i] bytes); decoded pixels land directly
+   in the interleaved u8 image at rects[4i..] with row_stride bytes
+   between rows. Returns 0 on success, i + 1 for the first tile whose
+   payload is broken, -2 on allocation failure. Spans over disjoint
+   rects may run concurrently against the same image buffer. */
+API int32_t akort_tile_decode_spans(
+    const uint8_t *blob, const int64_t *pay_off, const int64_t *pay_size,
+    const int64_t *counts, const int64_t *caps, int32_t n,
+    const int32_t *rects, int64_t row_stride, int32_t channels,
+    int32_t wavelet, int32_t wrap, int32_t color, uint8_t *image_out)
+{
+	size_t max_tile = 0;
+	for (int32_t i = 0; i < n; i++) {
+		const size_t bytes = (size_t)rects[4 * i + 2] *
+		                     (size_t)rects[4 * i + 3] *
+		                     (size_t)channels;
+		if (bytes > max_tile)
+			max_tile = bytes;
+	}
+	uint8_t *scratch = (uint8_t *)malloc(max_tile ? max_tile : 1);
+	if (scratch == NULL)
+		return -2;
+	for (int32_t i = 0; i < n; i++) {
+		const int32_t x = rects[4 * i + 0], y = rects[4 * i + 1];
+		const int32_t w = rects[4 * i + 2], h = rects[4 * i + 3];
+		const int32_t rc = akort_tile_decode_block(
+		    blob + pay_off[i], (size_t)pay_size[i],
+		    (size_t)counts[i], (size_t)caps[i], w, h, channels,
+		    wavelet, wrap, color, scratch);
+		if (rc != 0) {
+			free(scratch);
+			return rc == -2 ? -2 : i + 1;
+		}
+		const size_t row = (size_t)w * (size_t)channels;
+		for (int32_t r = 0; r < h; r++)
+			memcpy(image_out + (size_t)(y + r) * (size_t)row_stride +
+			           (size_t)x * (size_t)channels,
+			       scratch + (size_t)r * row, row);
+	}
+	free(scratch);
 	return 0;
 }

@@ -361,3 +361,93 @@ class TestNativeForwardParity:
         assert np.array_equal(got_planes, ref_planes)
         got_stream = hostcodec.tile_lift(got_planes, wavelet, wrap, qg)
         assert np.array_equal(got_stream, ref_stream)
+
+
+class TestHostSpanPipeline:
+    """The batched native span paths (akort_tile_encode_spans /
+    akort_tile_decode_spans): one Python<->C crossing per multi-tile
+    task, C gathering rects from / placing pixels into the shared
+    image buffer. Must stay byte/bit-identical to the per-tile calls
+    (which are oracle-gated) across the settings matrix, and must
+    reject corrupt payloads exactly like the per-tile path."""
+
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            dict(quantization=16, tiles_dimension=64),
+            dict(quantization=16, wavelet=Wavelet.CDF53, wrap=Wrap.MIRROR,
+                 tiles_dimension=64),
+            dict(quantization=8, wavelet=Wavelet.HAAR, tiles_dimension=32),
+            dict(quantization=16, gate=24, chroma_loss=3, tiles_dimension=64),
+            dict(quantization=16, discard_non_visible=True, tiles_dimension=64),
+            dict(quantization=0, tiles_dimension=0),
+        ],
+    )
+    def test_matrix_vs_oracle(self, rng, monkeypatch, kw):
+        monkeypatch.setenv("AKO_TPU_ENCODE", "host")
+        monkeypatch.setenv("AKO_TPU_DECODE", "host")
+        from ako_tpu.encode import checked_settings
+        from ako_tpu.runtime.executor import PipelineDecoder, PipelineEncoder
+
+        s = Settings(**kw)
+        # 150x136 makes 8x22 border tiles at t=64 (PARITY divergence 7
+        # keeps them >2 px: the reference encoder is the oracle here)
+        imgs = [_photo(rng, 150, 136), _photo(rng, 96, 64, ch=3),
+                _photo(rng, 70, 90, ch=1)]
+        blobs = PipelineEncoder(s).encode_batch(imgs)
+        pix = list(PipelineDecoder().decode_iter(blobs))
+        for img, blob, got in zip(imgs, blobs, pix):
+            assert blob == oracle.ref_encode(img, checked_settings(s))
+            assert np.array_equal(got, oracle.ref_decode(blob)[0])
+
+    def test_compression_none_falls_back(self, rng, monkeypatch):
+        monkeypatch.setenv("AKO_TPU_ENCODE", "host")
+        monkeypatch.setenv("AKO_TPU_DECODE", "host")
+        from ako_tpu.encode import checked_settings
+        from ako_tpu.runtime.executor import PipelineDecoder, PipelineEncoder
+
+        s = Settings(quantization=16, compression=Compression.NONE,
+                     tiles_dimension=64)
+        img = _photo(rng, 96, 70)
+        (blob,) = PipelineEncoder(s).encode_batch([img])
+        assert blob == oracle.ref_encode(img, checked_settings(s))
+        (got,) = list(PipelineDecoder().decode_iter([blob]))
+        assert np.array_equal(got, oracle.ref_decode(blob)[0])
+
+    @pytest.mark.parametrize("mutate", ["flip", "truncate_payload", "zero_run"])
+    def test_corrupt_blob_raises(self, rng, monkeypatch, mutate):
+        monkeypatch.setenv("AKO_TPU_ENCODE", "host")
+        monkeypatch.setenv("AKO_TPU_DECODE", "host")
+        from ako_tpu.core.settings import AkoError
+        from ako_tpu.runtime.executor import PipelineDecoder, PipelineEncoder
+
+        s = Settings(quantization=16, tiles_dimension=64)
+        img = _photo(rng, 96, 70)
+        (blob,) = PipelineEncoder(s).encode_batch([img])
+        b = bytearray(blob)
+        if mutate == "flip":
+            b[len(b) // 2] ^= 0xFF
+        elif mutate == "truncate_payload":
+            b = b[: len(b) - 7]
+        else:
+            from ako_tpu.core import container
+
+            b[container.HEAD_SIZE + 4 : container.HEAD_SIZE + 12] = b"\x00" * 8
+        got_err = None
+        try:
+            list(PipelineDecoder().decode_iter([bytes(b)]))
+        except AkoError as e:
+            got_err = e
+        # the per-tile reference path must agree that it is broken;
+        # some single-bit flips decode to different-but-valid streams,
+        # in which case both paths must succeed identically
+        ref_err = None
+        ref_pix = None
+        try:
+            ref_pix = ako_tpu.decode(bytes(b))[0]
+        except AkoError as e:
+            ref_err = e
+        assert (got_err is None) == (ref_err is None)
+        if got_err is None:
+            (span_pix,) = list(PipelineDecoder().decode_iter([bytes(b)]))
+            assert np.array_equal(span_pix, ref_pix)
