@@ -214,6 +214,101 @@ static int16_t unzigzag16(uint16_t u)
 	return (int16_t)((u >> 1) ^ (uint16_t)(0u - (u & 1u)));
 }
 
+/* Fast-path Kagari encoder: same token sequence and same emitted
+   bytes as the exact sink below, but drains ALL whole accumulator
+   bytes with one unaligned 8-byte store per flush (~1 flush per ~13
+   codes on the bench distribution) instead of the reference's
+   minimal byte-at-a-time dance, and checks capacity only at flush
+   granularity. Bit-concatenation is associative, so the flush
+   schedule never changes the output bytes — only the FAILURE
+   boundary is schedule-dependent, and that is the reference contract
+   (kagari.c's akoEliasEncodeStep). So this path only reports success
+   when the result provably fits with >= 2 bytes to spare (the exact
+   sink can overshoot payload size by at most pos + used/8 <=
+   ceil(B/8) + 1 mid-stream); anything tighter returns the NEAR_CAP
+   sentinel and the caller re-runs the exact encoder to decide. */
+#define KAGARI_FAST_NEAR_CAP ((size_t)-1)
+
+static inline int fast_put(uint64_t *acc, int *used, uint8_t **pos,
+                           const uint8_t *guard, uint16_t v)
+{
+	const int nbits = gamma_bits(v);
+	if (*used + nbits > ACC_BITS) {
+		if (*pos >= guard)
+			return 0;
+		const int k = *used >> 3;
+		uint64_t w = __builtin_bswap64(*acc << (ACC_BITS - *used));
+		memcpy(*pos, &w, 8); /* k valid bytes + scratch tail */
+		*pos += k;
+		*used -= k << 3;
+	}
+	*used += nbits;
+	*acc = (*acc << nbits) | (uint64_t)v;
+	return 1;
+}
+
+static size_t kagari_encode_fast(const int16_t *in, const int16_t *in_lim,
+                                 uint8_t *out, size_t output_size)
+{
+	/* guard leaves room for the 8-byte scratch store AND the final
+	   <= 8 pending bytes; trips -> exact re-run */
+	if (output_size < 32)
+		return KAGARI_FAST_NEAR_CAP;
+	uint8_t *pos = out;
+	const uint8_t *const guard = out + output_size - 16;
+	uint64_t acc = 0;
+	int used = 0;
+
+	if (!fast_put(&acc, &used, &pos, guard, (uint16_t)(zigzag16(*in) + 1)))
+		return KAGARI_FAST_NEAR_CAP;
+	int16_t prev = *in++;
+
+	while (in < in_lim) {
+		if (*in != prev) {
+			if (!fast_put(&acc, &used, &pos, guard,
+			              (uint16_t)(zigzag16(*in) + 1)))
+				return KAGARI_FAST_NEAR_CAP;
+			prev = *in++;
+			continue;
+		}
+		size_t L = 1;
+		while (in + L < in_lim && in[L] == prev)
+			L++;
+		in += L;
+		const uint16_t zz = (uint16_t)(zigzag16(prev) + 1);
+		while (L != 0) {
+			const size_t lits = L < RLE_TRIGGER ? L : RLE_TRIGGER;
+			for (size_t i = 0; i < lits; i++)
+				if (!fast_put(&acc, &used, &pos, guard, zz))
+					return KAGARI_FAST_NEAR_CAP;
+			L -= lits;
+			const size_t cap = (size_t)(VALUE_MAX - 1 - RLE_TRIGGER);
+			const size_t chunk = L < cap ? L : cap;
+			L -= chunk;
+			if (lits == RLE_TRIGGER) {
+				const uint16_t tok =
+				    (chunk == cap)
+				        ? (uint16_t)(VALUE_MAX - 1 - RLE_TRIGGER + 1)
+				        : (uint16_t)(chunk + 1);
+				if (!fast_put(&acc, &used, &pos, guard, tok))
+					return KAGARI_FAST_NEAR_CAP;
+			}
+		}
+	}
+	/* drain pending: whole bytes then the zero-padded partial */
+	while (used >= 8) {
+		used -= 8;
+		*pos++ = (uint8_t)(acc >> used);
+	}
+	if (used != 0)
+		*pos++ = (uint8_t)(acc << (8 - used));
+	const size_t n = (size_t)(pos - out);
+	/* success only when the exact sink provably also succeeds */
+	if (n + 2 > output_size)
+		return KAGARI_FAST_NEAR_CAP;
+	return n;
+}
+
 API size_t akort_kagari_encode(const void *input, size_t input_size, void *output,
                                size_t output_size)
 {
@@ -224,6 +319,16 @@ API size_t akort_kagari_encode(const void *input, size_t input_size, void *outpu
 
 	if (output_size == 0 || input_size == 0 || (input_size % 2) != 0)
 		return 0;
+
+	{
+		/* bulk-drain fast path; NEAR_CAP (can't prove the exact
+		   sink's verdict) falls through to the exact encoder */
+		const size_t fast = kagari_encode_fast(in, in_lim,
+		                                       (uint8_t *)output,
+		                                       output_size);
+		if (fast != KAGARI_FAST_NEAR_CAP)
+			return fast;
+	}
 
 	/* literal = gamma(zigzag(v) + 1); the +1 wraps to 0 for v == -32768,
 	   matching the reference's uint16 argument truncation */

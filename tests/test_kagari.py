@@ -74,3 +74,27 @@ def test_decode_parity_on_garbage(rng):
             if ours is not None:
                 np.testing.assert_array_equal(ours[0], ref[0])
                 assert ours[1] == ref[1]
+
+
+@needs_oracle
+def test_encode_capacity_boundary_sweep(rng):
+    """Byte + failure parity at capacities AROUND each stream's exact
+    encoded size: the native encoder's bulk-drain fast path proves
+    itself only with >= 2 spare bytes and re-runs the reference-exact
+    sink otherwise (akort.c kagari_encode_fast), so the boundary
+    capacities are where a fast/exact disagreement would surface."""
+    streams = [
+        rng.integers(-4, 5, 3000).astype(np.int16),
+        rng.integers(-32768, 32768, 1024).astype(np.int16),
+        np.zeros(5000, dtype=np.int16),
+        np.repeat(rng.integers(-9, 9, 60).astype(np.int16), 3),
+    ]
+    for values in streams:
+        full = kagari_encode(values, values.nbytes * 4 + 64)
+        assert full is not None
+        n = len(full)
+        for cap in range(max(1, n - 3), n + 4):
+            ours = kagari_encode(values, cap)
+            ref = oracle.ref_kagari_encode(values, cap)
+            assert (ours is None) == (ref is None), (len(values), n, cap)
+            assert ours == ref, (len(values), n, cap)
