@@ -149,7 +149,11 @@ static size_t sink_finish(BitSink *s, const uint8_t *start)
 }
 
 /* Read one gamma code; 0 return with *bits_out==0 means failure. */
-static uint16_t source_get(BitSource *s, int *bits_out)
+/* always_inline: one call per decoded symbol — the call overhead
+   alone was ~10% of kagari_decode (devbench/time_tile.c A/B); inlining
+   also lets the struct fields live in registers across the loop */
+__attribute__((always_inline)) static inline uint16_t
+source_get(BitSource *s, int *bits_out)
 {
 	if (s->acc == 0 || s->used < (ACC_BITS - REFILL_THRESHOLD)) {
 		/* plain while loops: entering with used > 56 (possible only on
@@ -678,24 +682,49 @@ static void unlift_pair_1d(int wavelet, int wrap, const int16_t *lp,
 		return;
 	}
 	if (wavelet == W_CDF53) {
-		for (int i = 0; i < n; i++)
+		/* interior peeled off the wrap branches so the truncating
+		   divisions vectorize — the inverse twin of lift_pair_1d's
+		   peel (same -O3 -march=native auto-vectorization win) */
+		ev[0] = (int16_t)((int32_t)lp[0] -
+		                  (tap_m1(hp, n, 0, wrap) + (int32_t)hp[0]) / 4);
+		for (int i = 1; i < n; i++)
 			ev[i] = (int16_t)((int32_t)lp[i] -
-			                  (tap_m1(hp, n, i, wrap) + (int32_t)hp[i]) / 4);
-		for (int i = 0; i < n; i++)
+			                  ((int32_t)hp[i - 1] + (int32_t)hp[i]) / 4);
+		for (int i = 0; i < n - 1; i++)
+			od[i] = (int16_t)((int32_t)hp[i] +
+			                  ((int32_t)ev[i] + (int32_t)ev[i + 1]) / 2);
+		{
+			const int i = n - 1;
 			od[i] = (int16_t)((int32_t)hp[i] +
 			                  ((int32_t)ev[i] + tap_p1(ev, n, i, wrap)) / 2);
+		}
 		return;
 	}
-	for (int i = 0; i < n; i++)
-		ev[i] = (int16_t)((int32_t)lp[i] -
-		                  (-tap_m2(hp, n, i, wrap) - tap_p1(hp, n, i, wrap) +
-		                   9 * (tap_m1(hp, n, i, wrap) + (int32_t)hp[i])) /
-		                      32);
-	for (int i = 0; i < n; i++)
-		od[i] = (int16_t)((int32_t)hp[i] -
-		                  (tap_m1(ev, n, i, wrap) + tap_p2(ev, n, i, wrap) -
-		                   9 * ((int32_t)ev[i] + tap_p1(ev, n, i, wrap))) /
-		                      16);
+	/* DD137 reaches here only with n >= 8 (eff_wavelet's <8x8 CDF53
+	   fallback), so the boundary indices per pass are distinct from
+	   the vectorizable interior. The full ev pass completes before od
+	   reads it (od taps ev at -1/+1/+2). */
+#define UDD_EV(I, M2, M1, P1)                                              \
+	ev[I] = (int16_t)((int32_t)lp[I] -                                     \
+	                  (-(M2) - (P1) + 9 * ((M1) + (int32_t)hp[I])) / 32)
+#define UDD_OD(I, M1, P1, P2)                                              \
+	od[I] = (int16_t)((int32_t)hp[I] -                                     \
+	                  ((M1) + (P2)-9 * ((int32_t)ev[I] + (P1))) / 16)
+	for (int i = 2; i < n - 1; i++)
+		UDD_EV(i, (int32_t)hp[i - 2], (int32_t)hp[i - 1], (int32_t)hp[i + 1]);
+	UDD_EV(0, tap_m2(hp, n, 0, wrap), tap_m1(hp, n, 0, wrap), (int32_t)hp[1]);
+	UDD_EV(1, tap_m2(hp, n, 1, wrap), (int32_t)hp[0], (int32_t)hp[2]);
+	UDD_EV(n - 1, (int32_t)hp[n - 3], (int32_t)hp[n - 2],
+	       tap_p1(hp, n, n - 1, wrap));
+	for (int i = 1; i < n - 2; i++)
+		UDD_OD(i, (int32_t)ev[i - 1], (int32_t)ev[i + 1], (int32_t)ev[i + 2]);
+	UDD_OD(0, tap_m1(ev, n, 0, wrap), (int32_t)ev[1], (int32_t)ev[2]);
+	UDD_OD(n - 2, (int32_t)ev[n - 3], (int32_t)ev[n - 1],
+	       tap_p2(ev, n, n - 2, wrap));
+	UDD_OD(n - 1, (int32_t)ev[n - 2], tap_p1(ev, n, n - 1, wrap),
+	       tap_p2(ev, n, n - 1, wrap));
+#undef UDD_EV
+#undef UDD_OD
 }
 
 /* Row-pointer taps for the V pass (whole rows at a time, so the inner
