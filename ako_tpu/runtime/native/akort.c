@@ -419,28 +419,26 @@ API size_t akort_kagari_decode(size_t count, const void *input, size_t input_siz
 			return 0;
 		const int16_t v = unzigzag16((uint16_t)(u - 1));
 
-		if (v == prev) {
-			*out++ = v;
-			run++;
-			if (run == RLE_TRIGGER) {
-				bits = 0;
-				const uint16_t rle_raw = source_get(&src, &bits);
-				if (bits == 0)
-					return 0;
-				const uint16_t rle_len = (uint16_t)(rle_raw - 1);
+		/* branchless literal/run-count merge: the v==prev compare is
+		   data-dependent and mispredict-prone per symbol; fold it to
+		   a conditional move and keep only the rare trigger branch */
+		*out++ = v;
+		run = (v == prev) ? run + 1 : 0;
+		prev = v;
+		if (run == RLE_TRIGGER) {
+			bits = 0;
+			const uint16_t rle_raw = source_get(&src, &bits);
+			if (bits == 0)
+				return 0;
+			const uint16_t rle_len = (uint16_t)(rle_raw - 1);
 
-				if ((out + (size_t)rle_len) > out_lim)
-					return 0;
-				for (uint16_t i = 0; i < rle_len; i++)
-					out[i] = prev;
-				out += rle_len;
-				run = 0;
-				count -= rle_len; /* may wrap; caught by out_lim check */
-			}
-		} else {
-			*out++ = v;
-			prev = v;
+			if ((out + (size_t)rle_len) > out_lim)
+				return 0;
+			for (uint16_t i = 0; i < rle_len; i++)
+				out[i] = prev;
+			out += rle_len;
 			run = 0;
+			count -= rle_len; /* may wrap; caught by out_lim check */
 		}
 	}
 
