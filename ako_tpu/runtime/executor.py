@@ -183,7 +183,10 @@ class PipelineEncoder:
                 return (blob, None) if keep_residue else blob
 
             for image in images:
-                image = np.ascontiguousarray(np.asarray(image))
+                # dtype coercion matches the per-tile path's
+                # ascontiguousarray(tile, dtype=uint8): the C side
+                # reads raw u8 through the image pointer
+                image = np.ascontiguousarray(np.asarray(image), dtype=np.uint8)
                 if image.ndim == 2:
                     image = image[:, :, None]
                 h, w, channels = image.shape
