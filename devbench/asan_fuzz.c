@@ -48,6 +48,22 @@ int32_t akort_tile_decode_block(const uint8_t *payload, size_t payload_size,
                                 int32_t channels, int32_t wavelet,
                                 int32_t wrap, int32_t color,
                                 uint8_t *pixels_out);
+int32_t akort_tile_encode_spans(const uint8_t *image, int64_t row_stride,
+                                int32_t channels, int32_t wavelet,
+                                int32_t wrap, int32_t color,
+                                int32_t discard_nv, int32_t n,
+                                const int32_t *rects, const int64_t *qg_off,
+                                const int32_t *qs, const int32_t *gs,
+                                const int64_t *counts, const int64_t *caps,
+                                uint8_t *out, const int64_t *out_off,
+                                int64_t *sizes);
+int32_t akort_tile_decode_spans(const uint8_t *blob, const int64_t *pay_off,
+                                const int64_t *pay_size,
+                                const int64_t *counts, const int64_t *caps,
+                                int32_t n, const int32_t *rects,
+                                int64_t row_stride, int32_t channels,
+                                int32_t wavelet, int32_t wrap, int32_t color,
+                                uint8_t *image_out);
 
 static uint64_t rng_state = 0x9E3779B97F4A7C15ull;
 
@@ -203,6 +219,62 @@ int main(int argc, char **argv)
 		hit_unlift((const int16_t *)g, glen / 2);
 		free(g);
 		cases += 2;
+
+		/* 6. the batched span entries against redzone-exact buffers:
+		 * a 2-tile encode from a tiny image, then decode spans fed
+		 * the resulting (and then corrupted) payloads. Offsets are
+		 * producer-trusted in the pipeline, but the scratch sizing
+		 * and rect walk deserve direct sanitizer coverage. */
+		{
+			const int32_t tw = 8, th = 8, ch = 2;
+			const int32_t iw = 16, ih = 8;
+			uint8_t *img = (uint8_t *)malloc((size_t)iw * ih * ch);
+			for (int32_t i = 0; i < iw * ih * ch; i++)
+				img[i] = (uint8_t)rng_next();
+			const int32_t rects[8] = {0, 0, tw, th, 8, 0, tw, th};
+			const int64_t qg_off[2] = {0, 0};
+			/* geometry.tile_data_size(8, 8) = 132 bytes/channel;
+			   2 levels x 2 channels of q=1/g=0 lift steps */
+			const int32_t qs_arr[4] = {1, 1, 1, 1};
+			const int32_t gs_arr[4] = {0, 0, 0, 0};
+			const size_t tds = 132 * (size_t)ch;
+			const int64_t counts[2] = {(int64_t)tds / 2,
+			                           (int64_t)tds / 2};
+			const int64_t caps[2] = {(int64_t)tds - 4,
+			                         (int64_t)tds - 4};
+			const int64_t out_off[2] = {0, (int64_t)tds};
+			uint8_t *sout = (uint8_t *)malloc(2 * tds);
+			int64_t sizes[2] = {0, 0};
+			akort_tile_encode_spans(img, (int64_t)iw * ch, ch, 0, 0,
+			                        0, 0, 2, rects, qg_off, qs_arr,
+			                        gs_arr, counts, caps, sout,
+			                        out_off, sizes);
+			if (sizes[0] > 0 && sizes[1] > 0) {
+				const int64_t pay_off[2] = {4, out_off[1] + 4};
+				int64_t pay_sz[2] = {sizes[0], sizes[1]};
+				const int64_t dcaps[2] = {
+				    (int64_t)(tds + (size_t)(tw + th) * 2),
+				    (int64_t)(tds + (size_t)(tw + th) * 2)};
+				uint8_t *dimg =
+				    (uint8_t *)malloc((size_t)iw * ih * ch);
+				akort_tile_decode_spans(sout, pay_off, pay_sz,
+				                        counts, dcaps, 2, rects,
+				                        (int64_t)iw * ch, ch, 0,
+				                        0, 0, dimg);
+				/* corrupt a payload byte and a size, re-drive */
+				sout[4 + rng_below((size_t)sizes[0])] ^= 0xFF;
+				pay_sz[1] = (int64_t)(1 + rng_below((size_t)sizes[1]));
+				akort_tile_decode_spans(sout, pay_off, pay_sz,
+				                        counts, dcaps, 2, rects,
+				                        (int64_t)iw * ch, ch, 0,
+				                        0, 0, dimg);
+				free(dimg);
+				cases += 2;
+			}
+			free(sout);
+			free(img);
+			cases++;
+		}
 
 		free(vals);
 		free(buf);
