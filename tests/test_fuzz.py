@@ -42,18 +42,45 @@ def _sane_dims(blob: bytes) -> bool:
     return w * h <= 1 << 20
 
 
+def _block_overruns_end(blob: bytes) -> bool:
+    """True when the container's block walk requires bytes past the end
+    of the blob — a block-size head claims more than remains. The
+    reference decoder then reads past its buffer (the compression.c
+    defect below) and may 'succeed' on heap garbage; reaching such a
+    state via truncation OR via a corrupted size head is the same
+    defect class."""
+    try:
+        from ako_tpu.core import container, geometry
+        from ako_tpu.decode import _read_tile_block
+
+        view = memoryview(blob)
+        channels, w, h, s = container.head_read(view)
+        cursor = container.HEAD_SIZE
+        for t in geometry.tile_grid(w, h, s.tiles_dimension):
+            _, cursor = _read_tile_block(view, cursor, t, s, channels)
+        return False
+    except AkoError:
+        return True
+    except Exception:
+        return False
+
+
 def assert_agree(blob: bytes, note: str, truncated: bool = False):
     if not _sane_dims(blob):
         return
     ours, theirs = both_decode(blob)
     if (ours is None) != (theirs is None):
-        if truncated and ours is None and theirs is not None:
+        if ours is None and theirs is not None and (
+            truncated or _block_overruns_end(blob)
+        ):
             # Known reference defect: akoDecompress passes block_size as
             # the Kagari input bound (compression.c:63-64) without
             # checking it against the remaining blob, so the decoder's
             # eager refill reads past a truncated buffer into heap
             # memory and can "succeed". We bound reads to the real data
-            # and fail cleanly — the safe behavior wins.
+            # and fail cleanly — the safe behavior wins. A bit flip in a
+            # block-size head reaches the same over-read (found by
+            # fuzz_campaign seed 20147: +1 on the last block's size).
             return
         raise AssertionError(
             f"{note}: divergent failure (ours={'fail' if ours is None else 'ok'}, "
