@@ -29,19 +29,13 @@ def build_options() -> OptionsManager:
 
 
 def save_png(path: str, image: np.ndarray, effort: int) -> None:
-    from PIL import Image
+    # effort 1-10 -> zlib level/strategy + per-row filter strategy,
+    # the reference's ZLIB_PRESET/PNG_FILTER_PRESET semantics
+    # (tools/akodec.cpp:44-68,213-214): 1 = stored+unfiltered,
+    # 2..9 = MINSUM heuristic, 10 = per-row brute force.
+    from ako_tpu.tools.pngout import write_png
 
-    if image.shape[2] == 1:
-        im = Image.fromarray(image[:, :, 0], mode="L")
-    elif image.shape[2] == 2:
-        im = Image.fromarray(image, mode="LA")
-    elif image.shape[2] == 3:
-        im = Image.fromarray(image, mode="RGB")
-    else:
-        im = Image.fromarray(image[:, :, :4], mode="RGBA")
-    # effort 1-10 -> zlib compress_level 0-9 (reference maps effort
-    # onto zlib/filter presets, tools/akodec.cpp:44-68)
-    im.save(path, format="PNG", compress_level=max(0, min(9, effort - 1)))
+    write_png(path, image[:, :, :4], effort)
 
 
 def main(argv=None) -> int:

@@ -186,3 +186,69 @@ class TestProfilerTrace:
 
         files = _glob.glob(os.path.join(trace_dir, "**", "*"), recursive=True)
         assert any(os.path.isfile(f) for f in files), files
+
+
+class TestPngEffort:
+    """The `-e` effort presets (reference tools/akodec.cpp:44-68):
+    effort maps onto BOTH a zlib preset and a per-row filter strategy
+    (stored+unfiltered at 1, MINSUM at 2..9, brute force at 10).
+    Pixels never depend on effort; only the PNG file size does."""
+
+    def test_roundtrip_all_channels_and_efforts(self, rng):
+        from PIL import Image
+
+        from ako_tpu.tools.pngout import write_png
+
+        y, x = np.mgrid[0:60, 0:44].astype(np.float32)
+        for ch in (1, 2, 3, 4):
+            img = np.clip(
+                120 + 70 * np.sin(x / 13)[..., None]
+                + rng.normal(0, 6, (60, 44, ch)),
+                0, 255,
+            ).astype(np.uint8)
+            for effort in (1, 2, 7, 10):
+                path = f"/tmp/ako_pngout_{ch}_{effort}.png"
+                write_png(path, img, effort)
+                back = np.asarray(Image.open(path))
+                if back.ndim == 2:
+                    back = back[:, :, None]
+                np.testing.assert_array_equal(back, img)
+
+    def test_effort_changes_size_not_pixels(self, rng):
+        import os as _os
+
+        from ako_tpu.tools.pngout import write_png
+
+        y, x = np.mgrid[0:80, 0:64].astype(np.float32)
+        img = np.clip(
+            120 + 60 * np.sin(x / 11) + 50 * np.cos(y / 7)
+            + rng.normal(0, 4, (80, 64)),
+            0, 255,
+        ).astype(np.uint8)[..., None].repeat(3, axis=2)
+        sizes = {}
+        for effort in (1, 5, 9):
+            path = f"/tmp/ako_pngout_sz_{effort}.png"
+            write_png(path, img, effort)
+            sizes[effort] = _os.path.getsize(path)
+        # effort 1 stores rows raw over an uncompressed stream —
+        # strictly larger than any compressed preset on smooth content
+        assert sizes[1] > sizes[5] >= sizes[9]
+
+    def test_cli_writes_effort_png(self, rng, tmp_path):
+        from PIL import Image
+
+        from ako_tpu.tools import akodec, akoenc
+
+        img = rng.integers(0, 256, size=(24, 16, 3), dtype=np.uint8)
+        src = tmp_path / "in.png"
+        Image.fromarray(img).save(src)
+        blob_path = tmp_path / "x.ako"
+        out_path = tmp_path / "out.png"
+        assert akoenc.main(["-i", str(src), "-o", str(blob_path), "-q", "16"]) == 0
+        assert akodec.main(
+            ["-i", str(blob_path), "-o", str(out_path), "-e", "9"]
+        ) == 0
+        blob = open(blob_path, "rb").read()
+        np.testing.assert_array_equal(
+            np.asarray(Image.open(out_path)), ako_tpu.decode(blob)[0]
+        )
