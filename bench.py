@@ -267,6 +267,14 @@ def _select_config(cands, images, settings):
         {env.get("AKO_TPU_TRANSPORT", "0") for env in on_device}
         | {"1" for env in on_device if env.get("AKO_TPU_TRANSPORT_ENC") == "1"}
     )
+    # Device warmup is the only unbounded stage (compiles + full streams
+    # over whatever the link is doing today); on a crawling link it can
+    # dwarf everything while predicting the device configs will lose
+    # anyway. Past the budget, drop the device candidates and race the
+    # zero-link host configs only.
+    warm_budget = float(os.environ.get("AKO_BENCH_WARMUP_S", "900"))
+    t_warm = time.perf_counter()
+    warm_aborted = False
     for tr in warm_transports:
         _run_candidate(
             bench_ours,
@@ -279,6 +287,23 @@ def _select_config(cands, images, settings):
             images,
             settings,
         )
+        if time.perf_counter() - t_warm > warm_budget:
+            warm_aborted = True
+            break
+    if warm_aborted:
+        host_only_cands = [
+            c
+            for c in cands
+            if c[2].get("AKO_TPU_ENCODE") == "host"
+            and c[2].get("AKO_TPU_DECODE") == "host"
+        ]
+        if host_only_cands:
+            print(
+                f"bench: device warmup exceeded {warm_budget:.0f}s; "
+                "racing zero-link host configs only",
+                file=sys.stderr,
+            )
+            cands = host_only_cands
     if len(cands) == 1:
         if not on_device:  # full-host pin: warm its own path (native
             # lib load, qg caches) since no device pass ran above
