@@ -48,9 +48,9 @@ def _case(rng):
         wrap=WRAPS[rng.integers(0, len(WRAPS))],
         color=COLORS[rng.integers(0, len(COLORS))],
         # small tile dims against biggish images -> many tiles, odd
-        # counts, narrow edge tiles: the span/pair bookkeeping surface.
-        # 16 as the floor keeps border tiles >2 px (PARITY divergence 7:
-        # the reference encoder, our oracle, fails on 1-2 px tiles)
+        # counts, narrow edge tiles: the span/pair bookkeeping surface
+        # (1-2 px border tiles make the reference ENCODER fail —
+        # divergence 7 — which the contract below models)
         tiles_dimension=int(rng.choice([0, 16, 32, 64])),
         chroma_loss=int(rng.choice([0, 1, 3])),
         discard_non_visible=bool(rng.integers(0, 2)),
@@ -81,8 +81,18 @@ def main() -> int:
             fails += 1
             continue
         if ref_blob is None:
-            print(f"FAIL seed {seed}: pipeline ok, reference failed", flush=True)
-            fails += 1
+            # divergence 7: the reference ENCODER fails on narrow
+            # border tiles that are format-valid; its DECODER must
+            # read our blob and agree with our pixels (the
+            # diff_campaign contract)
+            ref_dec = oracle.ref_decode(blob)
+            (pix,) = list(PipelineDecoder(workers=4).decode_iter([blob]))
+            if ref_dec is None or not np.array_equal(pix, ref_dec[0]):
+                print(
+                    f"FAIL seed {seed}: ref-encoder-fail case, decoder "
+                    "disagreement", flush=True,
+                )
+                fails += 1
             continue
         if blob != ref_blob:
             print(f"FAIL seed {seed}: blob mismatch", flush=True)
