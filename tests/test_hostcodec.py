@@ -451,3 +451,62 @@ class TestHostSpanPipeline:
         if got_err is None:
             (span_pix,) = list(PipelineDecoder().decode_iter([bytes(b)]))
             assert np.array_equal(span_pix, ref_pix)
+
+
+class TestSingleCallBlocks:
+    """Direct coverage of the single-call per-tile entries
+    (tile_encode_block / tile_decode_block): the executor now batches
+    through the span entries, but these remain the per-tile API (and
+    the C functions the spans are built from)."""
+
+    def test_block_roundtrip_vs_library(self, rng):
+        from ako_tpu.core import geometry as geo
+        from ako_tpu.encode import _host_qg, checked_settings
+        from ako_tpu.runtime.hostcodec import (
+            tile_decode_block,
+            tile_encode_block,
+        )
+
+        s = checked_settings(Settings(quantization=16))
+        tile = _photo(rng, 48, 40)
+        ch = tile.shape[2]
+        qg = _host_qg(40, 48, ch, s.quantization, s.gate, s.chroma_loss)
+        tds = geo.tile_data_size(40, 48) * ch
+        payload = tile_encode_block(
+            tile, s.wavelet, s.wrap, s.color, qg, tds - 4
+        )
+        assert payload is not None
+        spacing = geo.planes_spacing(40, 48)
+        pix = tile_decode_block(
+            payload, tds // 2, tds + spacing, 40, 48, ch,
+            s.wavelet, s.wrap, s.color,
+        )
+        assert pix is not None
+        blob = ako_tpu.encode(tile, s)
+        np.testing.assert_array_equal(pix, ako_tpu.decode(blob)[0])
+
+    def test_block_rejects_corrupt_payload(self, rng):
+        from ako_tpu.core import geometry as geo
+        from ako_tpu.encode import _host_qg, checked_settings
+        from ako_tpu.runtime.hostcodec import (
+            tile_decode_block,
+            tile_encode_block,
+        )
+
+        s = checked_settings(Settings(quantization=16))
+        tile = _photo(rng, 32, 32)
+        ch = tile.shape[2]
+        qg = _host_qg(32, 32, ch, s.quantization, s.gate, s.chroma_loss)
+        tds = geo.tile_data_size(32, 32) * ch
+        payload = bytearray(
+            tile_encode_block(tile, s.wavelet, s.wrap, s.color, qg, tds - 4)
+        )
+        payload = payload[: max(1, len(payload) - 5)]  # truncate
+        spacing = geo.planes_spacing(32, 32)
+        assert (
+            tile_decode_block(
+                bytes(payload), tds // 2, tds + spacing, 32, 32, ch,
+                s.wavelet, s.wrap, s.color,
+            )
+            is None
+        )
