@@ -132,9 +132,11 @@ def bench_ref(images, settings, warm=True):
     return t_enc + t_dec, blobs, outs
 
 
-#: the tunneled host<->device link swings +-40% between runs, so the
-#: reported value is the median of this many timed passes
-RUNS = 5
+#: the tunneled host<->device link swings +-40% between runs and the
+#: VM scheduler adds its own multi-second outliers, so the reported
+#: value is the median of this many timed passes (7: one outlier run
+#: can no longer drag the median the way it could with 5)
+RUNS = 7
 
 #: interleaved probe rounds per candidate configuration during
 #: auto-selection (CLAUDE.md: compare configs only via interleaved
