@@ -312,11 +312,7 @@ def _host_decode_plan(
     caps = np.empty(n, np.int64)
     for i, t in enumerate(grid):
         rects[i] = (t.x, t.y, t.w, t.h)
-        if wavelet != Wavelet.NONE:
-            tds = geometry.tile_data_size(t.w, t.h) * channels
-            spacing = geometry.planes_spacing(t.w, t.h)
-        else:
-            tds, spacing = t.w * t.h * channels * 2, 0
+        tds, spacing = _block_sizes(t.w, t.h, channels, wavelet)
         counts[i] = tds // 2
         caps[i] = tds + spacing
     for a in (rects, counts, caps):
@@ -324,15 +320,21 @@ def _host_decode_plan(
     return HostDecodeSpanPlan(rects, counts, caps)
 
 
-def tile_block_sizes(t, s: Settings, channels: int):
-    """(tile_data_size bytes, planes_spacing elements) for one tile —
-    the decode-side size contract (reference decode.c:133-142)."""
-    if s.wavelet != Wavelet.NONE:
+def _block_sizes(w: int, h: int, channels: int, wavelet: Wavelet):
+    """(tile_data_size bytes, planes_spacing elements) for one tile
+    geometry — the single source of the decode-side size contract
+    (reference decode.c:133-142)."""
+    if wavelet != Wavelet.NONE:
         return (
-            geometry.tile_data_size(t.w, t.h) * channels,
-            geometry.planes_spacing(t.w, t.h),
+            geometry.tile_data_size(w, h) * channels,
+            geometry.planes_spacing(w, h),
         )
-    return t.w * t.h * channels * 2, 0
+    return w * h * channels * 2, 0
+
+
+def tile_block_sizes(t, s: Settings, channels: int):
+    """(tile_data_size bytes, planes_spacing elements) for one tile."""
+    return _block_sizes(t.w, t.h, channels, s.wavelet)
 
 
 def read_tile_stream(view, cursor: int, t, s: Settings, channels: int):

@@ -290,10 +290,11 @@ static size_t kagari_encode_fast(const int16_t *in, const int16_t *in_lim,
 			const size_t chunk = L < cap ? L : cap;
 			L -= chunk;
 			if (lits == RLE_TRIGGER) {
-				const uint16_t tok =
-				    (chunk == cap)
-				        ? (uint16_t)(VALUE_MAX - 1 - RLE_TRIGGER + 1)
-				        : (uint16_t)(chunk + 1);
+				/* chunk+1 also covers the forced-flush case:
+				 * chunk==cap gives VALUE_MAX-1-RLE_TRIGGER+1
+				 * == cap+1 (the exact coder keeps the branch
+				 * pair for the reference's comment trail) */
+				const uint16_t tok = (uint16_t)(chunk + 1);
 				if (!fast_put(&acc, &used, &pos, guard, tok))
 					return KAGARI_FAST_NEAR_CAP;
 			}

@@ -404,7 +404,7 @@ def _tune_link() -> None:
         )
 
 
-def _preflight(probe_timeout_s: float = None) -> bool:
+def _preflight(probe_timeout_s: float | None = None) -> bool:
     """The tunneled TPU backend can be down outright, in which case
     jax.devices() hangs indefinitely in-process. Probe it in a
     subprocess with a timeout — retrying across a window, since
