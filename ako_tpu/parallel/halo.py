@@ -18,10 +18,16 @@ boundary — including the nonlinear (truncating-division) hp chain,
 whose first pad value is synthesized from the last valid rows so the
 int16 modular arithmetic cancels (`_pad_*` below). This covers CLAMP
 and ZERO wraps (and Haar under every wrap: its lifting reads no
-neighbors); MIRROR/REPEAT levels with a remainder fall back to
-replicated compute — their edge substitutions read *position-varying*
-values that a value-only pad cannot express. A fake plus-one-rule row
-is materialized before padding, so odd-height levels shard too.
+neighbors). MIRROR/REPEAT levels with a remainder shard by PAD + FIX:
+their edge substitutions read *position-varying* rows (x[1],x[2] /
+x[-3],x[-2] / x[0],x[1]) that no value-only pad can express, so the
+sharded stencil runs over zero pads and the handful of boundary
+outputs it contaminates — the last 1-3 valid rows, plus the first 0-3
+under REPEAT, whose cyclic-permute head halo reads the pad garbage —
+are overwritten with the true-boundary formulas computed globally from
+edge-row slices (`_fix_fwd`/`_fix_inv`; O(w) work vs the level's
+O(h·w)). A fake plus-one-rule row is materialized before padding, so
+odd-height levels shard too.
 
 The residual small levels (a few KB) run replicated — the classic
 coarse-level gather of parallel wavelet transforms. `plan_levels`
@@ -43,7 +49,7 @@ from jax import shard_map
 
 from ako_tpu.core.geometry import LiftLevel, LiftSchedule
 from ako_tpu.core.settings import Wavelet, Wrap
-from ako_tpu.ops.intmath import div4, div16, div32, i16, i32
+from ako_tpu.ops.intmath import div2, div4, div16, div32, i16, i32
 from ako_tpu.ops.lifting import _quantize_gate
 from ako_tpu.ops.wavelets import (
     _interleave,
@@ -70,14 +76,17 @@ def _shard_plan(
     m = -(-T // n)
     if m < _MIN_LOCAL_EVENS:
         return None
-    pad_pairs = m * n - T
-    if (
+    return _Plan(m, m * n - T)
+
+
+def _needs_fix(pad_pairs: int, wrap: Wrap, weff: Wavelet) -> bool:
+    """Ragged MIRROR/REPEAT levels take the pad+fix path (module
+    docstring); CLAMP/ZERO take crafted pads, Haar reads no neighbors."""
+    return (
         pad_pairs > 0
         and weff != Wavelet.HAAR
-        and wrap not in (Wrap.CLAMP, Wrap.ZERO)
-    ):
-        return None  # position-varying MIRROR/REPEAT edge substitutions
-    return _Plan(m, pad_pairs)
+        and wrap in (Wrap.MIRROR, Wrap.REPEAT)
+    )
 
 
 def plan_levels(
@@ -191,6 +200,122 @@ def _pad_inv(ll, c, T: int, pad_pairs: int, wrap: Wrap, weff: Wavelet):
     return ll_p, c_p
 
 
+def _row32(x, j: int):
+    return i32(_rows(x, j, j + 1))
+
+
+def _splice(arr, fixes):
+    """Overwrite rows of arr (..., T, w) per {index: new_row} with
+    static concatenation (indices known at trace time)."""
+    T = arr.shape[-2]
+    idxs = sorted(fixes)
+    parts, lo = [], 0
+    for j in idxs:
+        if j > lo:
+            parts.append(_rows(arr, lo, j))
+        parts.append(i16(fixes[j]))
+        lo = j + 1
+    if lo < T:
+        parts.append(_rows(arr, lo, T))
+    return jnp.concatenate(parts, axis=-2)
+
+
+def _fix_fwd(weff: Wavelet, wrap: Wrap, x, lp, hp, T: int):
+    """True-boundary overwrite for the forward V pass of a ragged
+    MIRROR/REPEAT level. x: the V-pass input (first 2T rows = the true
+    domain, evens at 2j, odds at 2j+1); lp/hp: the sharded outputs
+    sliced to T rows, contaminated only at the tail (taps past row
+    2T-1 read pads instead of the wrap substitutions) and, for REPEAT,
+    the head (the cyclic ppermute delivers the last shard's pad rows
+    where the true wrap reads rows T-1/T-2). Substitution rows per
+    wrap follow the reference's second-tap rules
+    (/root/reference/library/wavelet-dd137.c:74-126)."""
+    ev = lambda j: _row32(x, 2 * j)
+    od = lambda j: _row32(x, 2 * j + 1)
+    h = lambda j: _row32(hp, j)
+    rep = wrap == Wrap.REPEAT
+
+    if weff == Wavelet.CDF53:
+        s1 = ev(0) if rep else ev(T - 1)
+        hp_t1 = i32(i16(od(T - 1) - div2(ev(T - 1) + s1)))
+        lp_t1 = ev(T - 1) + div4(h(T - 2) + hp_t1)
+        hp_fix = {T - 1: hp_t1}
+        lp_fix = {T - 1: lp_t1}
+        if rep:
+            lp_fix[0] = ev(0) + div4(hp_t1 + h(0))
+        return _splice(lp, lp_fix), _splice(hp, hp_fix)
+
+    # DD137
+    s1 = ev(0) if rep else ev(T - 1)
+    s2a = ev(0) if rep else ev(T - 3)  # +2 tap at row T-2
+    s2b = ev(1) if rep else ev(T - 2)  # +2 tap at row T-1
+    hp_t2 = i32(i16(od(T - 2) + div16(ev(T - 3) + s2a - 9 * (ev(T - 2) + ev(T - 1)))))
+    hp_t1 = i32(i16(od(T - 1) + div16(ev(T - 2) + s2b - 9 * (ev(T - 1) + s1))))
+    if rep:  # REPEAT's head hp is itself contaminated (prev tap rides
+        # the cyclic permute into the pads) and feeds lp_t1's +1 tap
+        hp_0 = i32(i16(od(0) + div16(ev(T - 1) + ev(2) - 9 * (ev(0) + ev(1)))))
+        hs1 = hp_0  # +1 hp tap at row T-1 wraps to row 0
+    else:
+        hs1 = hp_t1  # MIRROR's +-1 tap clamps to the last row
+    lp_t3 = ev(T - 3) + div32(-h(T - 5) - hp_t2 + 9 * (h(T - 4) + h(T - 3)))
+    lp_t2 = ev(T - 2) + div32(-h(T - 4) - hp_t1 + 9 * (h(T - 3) + hp_t2))
+    lp_t1 = ev(T - 1) + div32(-h(T - 3) - hs1 + 9 * (hp_t2 + hp_t1))
+    hp_fix = {T - 2: hp_t2, T - 1: hp_t1}
+    lp_fix = {T - 3: lp_t3, T - 2: lp_t2, T - 1: lp_t1}
+    if rep:
+        hp_fix[0] = hp_0
+        lp_fix[0] = ev(0) + div32(-hp_t2 - h(1) + 9 * (hp_t1 + hp_0))
+        lp_fix[1] = ev(1) + div32(-hp_t1 - h(2) + 9 * (hp_0 + h(1)))
+        lp_fix[2] = ev(2) + div32(-hp_0 - h(3) + 9 * (h(1) + h(2)))
+    return _splice(lp, lp_fix), _splice(hp, hp_fix)
+
+
+def _fix_inv(weff: Wavelet, wrap: Wrap, lp, hp, ev, od, T: int):
+    """Inverse twin of _fix_fwd: lp/hp are one dequantized quadrant
+    pair (T rows each, the sharded V-unlift's true-domain inputs);
+    ev/od its outputs sliced to T rows. Returns the corrected
+    (ev, od)."""
+    L = lambda j: _row32(lp, j)
+    H = lambda j: _row32(hp, j)
+    rep = wrap == Wrap.REPEAT
+
+    if weff == Wavelet.CDF53:
+        ev_fix = {}
+        if rep:
+            ev_fix[0] = L(0) - div4(H(T - 1) + H(0))
+        evf = _splice(ev, ev_fix) if ev_fix else ev
+        E = lambda j: _row32(evf, j)
+        s1 = E(0) if rep else E(T - 1)
+        od_fix = {T - 1: H(T - 1) + div2(E(T - 1) + s1)}
+        if rep:
+            od_fix[0] = H(0) + div2(E(0) + E(1))
+        return evf, _splice(od, od_fix)
+
+    # DD137
+    hs1 = H(0) if rep else H(T - 1)
+    ev_fix = {
+        T - 1: L(T - 1) - div32(-H(T - 3) - hs1 + 9 * (H(T - 2) + H(T - 1)))
+    }
+    if rep:
+        ev_fix[0] = L(0) - div32(-H(T - 2) - H(1) + 9 * (H(T - 1) + H(0)))
+        ev_fix[1] = L(1) - div32(-H(T - 1) - H(2) + 9 * (H(0) + H(1)))
+    evf = _splice(ev, ev_fix)
+    E = lambda j: _row32(evf, j)
+    s1 = E(0) if rep else E(T - 1)
+    s2a = E(0) if rep else E(T - 3)
+    s2b = E(1) if rep else E(T - 2)
+    od_fix = {
+        T - 3: H(T - 3) - div16(E(T - 4) + E(T - 1) - 9 * (E(T - 3) + E(T - 2))),
+        T - 2: H(T - 2) - div16(E(T - 3) + s2a - 9 * (E(T - 2) + E(T - 1))),
+        T - 1: H(T - 1) - div16(E(T - 2) + s2b - 9 * (E(T - 1) + s1)),
+    }
+    if rep:
+        od_fix[0] = H(0) - div16(E(T - 1) + E(2) - 9 * (E(0) + E(1)))
+        od_fix[1] = H(1) - div16(E(0) + E(3) - 9 * (E(1) + E(2)))
+        od_fix[2] = H(2) - div16(E(1) + E(4) - 9 * (E(2) + E(3)))
+    return evf, _splice(od, od_fix)
+
+
 def _v_lift_local(weff: Wavelet, wrap: Wrap, axis_name: str, x):
     return lift1d(weff, wrap, x, 0, axis=-2, axis_name=axis_name)
 
@@ -263,7 +388,8 @@ def forward_tile_sharded(
                 out_specs=(row_spec,) * 2,
             )
             lp_h, hp_h = h_lift(x)
-            if plan.pad_pairs:
+            fix = _needs_fix(plan.pad_pairs, wrap, weff)
+            if plan.pad_pairs and not fix:
                 # replace the garbage pad rows with the crafted values
                 lp_h = _pad_fwd(_rows(lp_h, 0, 2 * T), T, plan.pad_pairs, wrap, weff)
                 hp_h = _pad_fwd(_rows(hp_h, 0, 2 * T), T, plan.pad_pairs, wrap, weff)
@@ -280,6 +406,9 @@ def forward_tile_sharded(
             if plan.pad_pairs:
                 ll, b = _rows(ll, 0, T), _rows(b, 0, T)
                 c, d = _rows(c, 0, T), _rows(d, 0, T)
+                if fix:  # MIRROR/REPEAT: zero pads + boundary overwrite
+                    ll, c = _fix_fwd(weff, wrap, _rows(lp_h, 0, 2 * T), ll, c, T)
+                    b, d = _fix_fwd(weff, wrap, _rows(hp_h, 0, 2 * T), b, d, T)
         else:
             if sharded:
                 cur = jax.lax.with_sharding_constraint(cur, replicated)
@@ -340,7 +469,41 @@ def inverse_tile_sharded(
 
         weff = effective_wavelet(wavelet, hw, hh)
         plan = _shard_plan(lvl, n, wrap, weff)
-        if plan is not None:
+        if plan is not None and _needs_fix(plan.pad_pairs, wrap, weff):
+            # MIRROR/REPEAT ragged level: sharded V unlift over zero
+            # pads, global boundary fix, then the row-local H merge
+            def zpad(a):
+                z = jnp.zeros(
+                    a.shape[:-2] + (plan.pad_pairs, a.shape[-1]), a.dtype
+                )
+                return jax.lax.with_sharding_constraint(
+                    jnp.concatenate([a, z], axis=-2), row_sh
+                )
+
+            v_unlift = shard_map(
+                lambda lp, hp: unlift1d_pair(
+                    weff, wrap, lp, hp, axis=-2, axis_name=axis_name
+                ),
+                mesh=mesh,
+                in_specs=(row_spec,) * 2,
+                out_specs=(row_spec,) * 2,
+            )
+            ev_l, od_l = v_unlift(zpad(cur), zpad(c))
+            ev_r, od_r = v_unlift(zpad(b), zpad(d))
+            ev_l, od_l = _rows(ev_l, 0, hh), _rows(od_l, 0, hh)
+            ev_r, od_r = _rows(ev_r, 0, hh), _rows(od_r, 0, hh)
+            ev_l, od_l = _fix_inv(weff, wrap, cur, c, ev_l, od_l, hh)
+            ev_r, od_r = _fix_inv(weff, wrap, b, d, ev_r, od_r, hh)
+
+            def merge(lp, hp):
+                ev, od = unlift1d_pair(weff, wrap, lp, hp, axis=-1)
+                if lvl.fake_last_col:
+                    od = _sl(od, 0, -1, -1)
+                return _interleave(ev, od, axis=-1)
+
+            out = _interleave(merge(ev_l, ev_r), merge(od_l, od_r), axis=-2)
+            cur = _rows(out, 0, lvl.current_h)
+        elif plan is not None:
             if plan.pad_pairs:
                 cur, c = _pad_inv(cur, c, hh, plan.pad_pairs, wrap, weff)
                 b, d = _pad_inv(b, d, hh, plan.pad_pairs, wrap, weff)

@@ -83,10 +83,17 @@ class TestHaloShardedLift:
             (77, 93, Wavelet.DD137, Wrap.CLAMP, 1),
             # Haar reads no neighbors: pads work under every wrap
             (96, 100, Wavelet.HAAR, Wrap.MIRROR, 2),
-            # MIRROR/REPEAT + remainder: value pads cannot express the
-            # position-varying edge substitutions -> replicated, exact
-            (96, 100, Wavelet.DD137, Wrap.MIRROR, 0),
-            (96, 100, Wavelet.DD137, Wrap.REPEAT, 0),
+            # MIRROR/REPEAT + remainder: pad+fix path (the edge
+            # substitutions read position-varying rows; the sharded
+            # stencil's contaminated boundary outputs are overwritten
+            # with the true-boundary formulas)
+            (96, 100, Wavelet.DD137, Wrap.MIRROR, 2),
+            (96, 100, Wavelet.DD137, Wrap.REPEAT, 2),
+            (96, 100, Wavelet.CDF53, Wrap.MIRROR, 2),
+            (96, 100, Wavelet.CDF53, Wrap.REPEAT, 2),
+            (77, 93, Wavelet.DD137, Wrap.MIRROR, 1),
+            (77, 93, Wavelet.DD137, Wrap.REPEAT, 1),
+            (127, 127, Wavelet.CDF53, Wrap.REPEAT, 2),
         ],
     )
     def test_odd_dims_pad_sharded(self, rng, w, h, wavelet, wrap, min_sharded):
@@ -96,8 +103,6 @@ class TestHaloShardedLift:
         schedule = geometry.lift_schedule(w, h)
         n_sharded = sum(plan_levels(schedule, 8, wavelet, wrap))
         assert n_sharded >= min_sharded
-        if min_sharded == 0:
-            assert n_sharded == 0  # pins the MIRROR/REPEAT bail-out
         planes = rng.integers(-512, 512, size=(2, h, w)).astype(np.int16)
         qg = level_qg(schedule, 2, 16, 0, 1)
         ref = np.asarray(
@@ -123,18 +128,29 @@ class TestHaloShardedLift:
         )
         np.testing.assert_array_equal(rec, rec_ref)
 
-    def test_sharded_level_count_north_star(self):
+    @pytest.mark.parametrize(
+        "wrap", [Wrap.CLAMP, Wrap.ZERO, Wrap.MIRROR, Wrap.REPEAT]
+    )
+    def test_sharded_level_count_north_star(self, wrap):
         """Guard against the planner silently replicating everything
         (bit-exactness tests cannot catch that): the north-star
         single-tile shapes must shard at least this many pyramid
-        levels on the 8-device mesh."""
+        levels on the 8-device mesh — under EVERY wrap mode (the r4
+        planner sharded ragged levels for CLAMP/ZERO only; the pad+fix
+        path closed the MIRROR/REPEAT gap)."""
         from ako_tpu.parallel.halo import plan_levels
 
         cafe = geometry.lift_schedule(1024, 1280)
-        assert sum(plan_levels(cafe, 8, Wavelet.DD137, Wrap.CLAMP)) >= 5
+        assert sum(plan_levels(cafe, 8, Wavelet.DD137, wrap)) >= 5
         tractor = geometry.lift_schedule(1632, 2464)
         # pre-pad planning sharded only 2 tractor levels (616 % 16 != 0)
-        assert sum(plan_levels(tractor, 8, Wavelet.DD137, Wrap.CLAMP)) >= 6
+        assert sum(plan_levels(tractor, 8, Wavelet.DD137, wrap)) >= 6
+        # the wrap axis must not change the plan at all now
+        for sched in (cafe, tractor):
+            for wv in (Wavelet.DD137, Wavelet.CDF53, Wavelet.HAAR):
+                assert plan_levels(sched, 8, wv, wrap) == plan_levels(
+                    sched, 8, wv, Wrap.CLAMP
+                )
 
     def test_lossless_roundtrip_sharded(self, rng):
         mesh = make_mesh((8,), ("rows",))
