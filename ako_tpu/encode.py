@@ -395,11 +395,7 @@ def dispatch_tiles_fused(
     # Constant trailing channel (the alpha=255 norm for RGBA photos):
     # upload channels-1 planes and broadcast the constant on device —
     # same tile tensor, byte-identical blob, 25% fewer upload bytes.
-    fill_val = None
-    if channels in (2, 4):
-        a = image[..., -1]
-        if a.size and (a == a.flat[0]).all():
-            fill_val = int(a.flat[0])
+    fill_val = image_fill_val(image)
 
     # Encode-side transport (AKO_TPU_TRANSPORT[_ENC]=1): the pixel
     # upload crosses the link as per-tile lossless q0 bitstreams and is
@@ -570,6 +566,121 @@ def collect_tiles_blocks(
                 out[tiles[i].index] = block
         _fire(events, tiles[0].index, total, Event.COMPRESSION_END, events_user)
     return out
+
+
+def dispatch_images_fused(metas, s: Settings):
+    """Phase 1 of the COALESCED device-entropy encode: one fused
+    dispatch per tile shape covering EVERY tile of `metas`' images, so
+    the per-image RPC chain — pixel upload, ~40 ms totals fetch, the
+    bucketed byte fetches — is paid once per image GROUP instead of
+    once per image. Through the tunneled link those latencies were the
+    encode stream's critical path even at collect depth 3 (the
+    reference's sequential loop, encode.c:115, has no such cost — so
+    amortizing it is what lets a device-involved config beat the
+    single-core reference end to end).
+
+    metas: list of (image, head, grid, channels, fill_val) sharing
+    channels and fill_val (the executor groups by geometry signature so
+    the fused programs' batch shapes recur across groups). Returns
+    opaque records for collect_images_blobs."""
+    from ako_tpu.runtime import transport
+    from ako_tpu.runtime.transfer import device_put_parallel
+
+    channels = metas[0][3]
+    fill_val = metas[0][4]
+    use_enc_transport = transport.enc_enabled()
+    up_ch = channels - 1 if fill_val is not None else channels
+
+    shape_tiles: dict[tuple[int, int], list] = {}
+    for i, (_image, _head, grid, _ch, _fv) in enumerate(metas):
+        for t in grid:
+            shape_tiles.setdefault((t.w, t.h), []).append((i, t))
+
+    recs = []
+    for (tw, th), lst in shape_tiles.items():
+        fwd, pack, capacity, budget = _tile_encoder_fused(
+            tw,
+            th,
+            channels,
+            s.wavelet,
+            s.wrap,
+            s.color,
+            bool(s.discard_non_visible),
+            s.quantization,
+            s.gate,
+            s.chroma_loss,
+            fill_val,
+        )
+        batch = np.stack(
+            [
+                metas[i][0][t.y : t.y + th, t.x : t.x + tw, :up_ch]
+                for i, t in lst
+            ],
+            axis=0,
+        )
+        tiles_dev = (
+            transport.upload_tiles_packed(batch) if use_enc_transport else None
+        )
+        if tiles_dev is None:
+            tiles_dev = device_put_parallel(batch)
+        stream_dev = fwd(tiles_dev)
+        comp_bytes, totals_dev = pack(stream_dev)
+        prep_fut = _fetch_pool().submit(
+            _prepare_collect, totals_dev, comp_bytes, capacity, budget
+        )
+        recs.append((lst, stream_dev, comp_bytes, prep_fut, capacity, budget))
+    return recs
+
+
+def collect_images_blobs(metas, recs) -> list[bytes]:
+    """Phase 2 of the coalesced encode: drain the group's fetches and
+    frame every image's blob. Block bytes are identical to the
+    per-image path's (same fused programs, same per-tile framing, same
+    near-capacity host-coder fallback), so blobs stay byte-identical to
+    the reference whatever the grouping."""
+    blocks: list[list] = [
+        [None] * len(grid) for (_img, _head, grid, _ch, _fv) in metas
+    ]
+    for lst, stream_dev, _comp_bytes, prep_fut, capacity, budget in recs:
+        totals, fallback, groups, rows = prep_fut.result()
+        if groups:
+            from ako_tpu.runtime.transfer import device_get_parallel
+
+            for group, host_bytes in zip(
+                groups, _fetch_pool().map(device_get_parallel, rows)
+            ):
+                for j, gi in enumerate(group):
+                    img_i, t = lst[gi]
+                    n = int(totals[gi])
+                    blocks[img_i][t.index] = (
+                        BLOCK_HEAD.pack(n) + host_bytes[j, :n].tobytes()
+                    )
+        if fallback:
+            from ako_tpu.runtime.transfer import device_get_parallel
+
+            streams = device_get_parallel(stream_dev[jnp.asarray(fallback)])
+            for j, gi in enumerate(fallback):
+                img_i, t = lst[gi]
+                block = compress_block(streams[j], capacity + BLOCK_HEAD.size)
+                if block is None:
+                    raise AkoError(Status.ERROR, "incompressible tile")
+                blocks[img_i][t.index] = block
+    return [
+        head + b"".join(bl)
+        for (_img, head, _grid, _ch, _fv), bl in zip(metas, blocks)
+    ]
+
+
+def image_fill_val(image: np.ndarray) -> Optional[int]:
+    """Constant trailing channel detection (the alpha=255 norm): when
+    every sample of the last channel is equal, the fused encoders
+    broadcast it on device and the upload drops that plane."""
+    channels = image.shape[-1]
+    if channels in (2, 4):
+        a = image[..., -1]
+        if a.size and (a == a.flat[0]).all():
+            return int(a.flat[0])
+    return None
 
 
 @functools.lru_cache(maxsize=64)

@@ -252,11 +252,72 @@ class PipelineEncoder:
         (the round-2 shape) left the ~40 ms-latency totals/byte fetch
         chain on the steady-state critical path: measured 176 ms/img at
         depth 1 vs ~130 at depth 3 on a 46 MB/s link
-        (devbench/hostdec_profile.py)."""
+        (devbench/hostdec_profile.py).
+
+        Same-geometry images additionally COALESCE into groups of
+        AKO_ENC_COALESCE (default 4): one pixel upload, one fused
+        program pair, one totals RPC and one bucketed byte fetch per
+        GROUP (encode.dispatch_images_fused), dividing the tunnel's
+        per-image RPC latency by the group size. keep_residue pins the
+        per-image shape (the paired-decode residue records are
+        per-image); AKO_ENC_COALESCE=1 restores it outright."""
         import os
 
         s = self.settings
         depth = max(1, int(os.environ.get("AKO_ENC_INFLIGHT", "3")))
+        coalesce = max(1, int(os.environ.get("AKO_ENC_COALESCE", "4")))
+
+        if keep_residue or coalesce == 1:
+            yield from self._encode_iter_device_entropy_per_image(
+                images, keep_residue, depth
+            )
+            return
+
+        from ako_tpu.encode import (
+            collect_images_blobs,
+            dispatch_images_fused,
+            image_fill_val,
+        )
+
+        with cf.ThreadPoolExecutor(max_workers=depth) as io:
+            futs: deque = deque()
+            buf: list = []
+            sig = None
+
+            def flush():
+                nonlocal sig
+                if not buf:
+                    return
+                metas, buf[:] = buf[:], []
+                sig = None
+                recs = dispatch_images_fused(metas, s)
+                futs.append(io.submit(collect_images_blobs, metas, recs))
+
+            for image in images:
+                image = np.asarray(image)
+                if image.ndim == 2:
+                    image = image[:, :, None]
+                h, w, channels = image.shape
+                fv = image_fill_val(image)
+                this_sig = (h, w, channels, fv)
+                if sig is not None and this_sig != sig:
+                    flush()
+                sig = this_sig
+                head = container.head_write(channels, w, h, s)
+                grid = geometry.tile_grid(w, h, s.tiles_dimension)
+                buf.append((image, head, grid, channels, fv))
+                if len(buf) >= coalesce:
+                    flush()
+                while len(futs) >= depth:
+                    yield from futs.popleft().result()
+            flush()
+            while futs:
+                yield from futs.popleft().result()
+
+    def _encode_iter_device_entropy_per_image(
+        self, images: Iterable[np.ndarray], keep_residue: bool, depth: int
+    ) -> Iterator[bytes]:
+        s = self.settings
 
         def collect(args):
             p_head, p_s, p_ch, p_grid, p_disp = args

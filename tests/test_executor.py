@@ -32,6 +32,42 @@ def test_pipeline_decoder_matches_decode(rng):
         np.testing.assert_array_equal(out, ref)
 
 
+def test_pipeline_encoder_coalesced_matches_encode(rng):
+    """The coalesced device-entropy path (one fused dispatch + one
+    totals/byte fetch per image GROUP) must frame byte-identical blobs,
+    including across geometry-signature flushes mid-stream, border
+    tiles, and the constant-alpha upload elision."""
+    images = (
+        # group A: RGBA constant alpha, border tiles (two shape groups)
+        [rng.integers(0, 256, size=(40, 32, 4), dtype=np.uint8) for _ in range(3)]
+        # group B: different geometry forces a signature flush
+        + [rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8) for _ in range(2)]
+        # group C: varying alpha (fill_val None) splits from A even at
+        # equal dims
+        + [rng.integers(0, 256, size=(40, 32, 4), dtype=np.uint8)]
+    )
+    for img in images[:3]:
+        img[..., -1] = 255
+    s = Settings(quantization=16, tiles_dimension=16)
+    enc = PipelineEncoder(s, workers=3, device_entropy=True)
+    blobs = enc.encode_batch(images)
+    for img, blob in zip(images, blobs):
+        assert blob == ako_tpu.encode(img, s, device_entropy=True)
+
+
+def test_pipeline_encoder_coalesce_partial_group(rng, monkeypatch):
+    """Stream length not divisible by AKO_ENC_COALESCE: the trailing
+    partial group must flush and stay byte-identical."""
+    monkeypatch.setenv("AKO_ENC_COALESCE", "4")
+    images = [
+        rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8) for _ in range(5)
+    ]
+    s = Settings(quantization=16, tiles_dimension=32)
+    blobs = PipelineEncoder(s, device_entropy=True).encode_batch(images)
+    for img, blob in zip(images, blobs):
+        assert blob == ako_tpu.encode(img, s, device_entropy=True)
+
+
 def test_pipeline_uncompressed(rng):
     from ako_tpu.core.settings import Compression
 
