@@ -254,18 +254,25 @@ class PipelineEncoder:
         depth 1 vs ~130 at depth 3 on a 46 MB/s link
         (devbench/hostdec_profile.py).
 
-        Same-geometry images additionally COALESCE into groups of
-        AKO_ENC_COALESCE (default 4): one pixel upload, one fused
-        program pair, one totals RPC and one bucketed byte fetch per
-        GROUP (encode.dispatch_images_fused), dividing the tunnel's
-        per-image RPC latency by the group size. keep_residue pins the
+        Same-geometry images can additionally COALESCE into groups of
+        AKO_ENC_COALESCE: one pixel upload, one fused program pair, one
+        totals RPC and one bucketed byte fetch per GROUP
+        (encode.dispatch_images_fused), dividing the link's per-image
+        RPC latency by the group size. Default 1 (per-image): measured
+        2026-08-20 on the live tunnel, k=4 was within noise of k=1 in
+        seq mode (1.621 vs 1.605 s/12 img interleaved medians) and
+        LOST in roundtrip mode — at collect depth 3 the per-image RPC
+        latencies already overlap, and grouping trades away pipeline
+        granularity (ramp-in/tail are a whole group instead of an
+        image). The machinery stays for genuinely high-latency links
+        (devbench/coalesce_ab.py re-measures). keep_residue pins the
         per-image shape (the paired-decode residue records are
-        per-image); AKO_ENC_COALESCE=1 restores it outright."""
+        per-image)."""
         import os
 
         s = self.settings
         depth = max(1, int(os.environ.get("AKO_ENC_INFLIGHT", "3")))
-        coalesce = max(1, int(os.environ.get("AKO_ENC_COALESCE", "4")))
+        coalesce = max(1, int(os.environ.get("AKO_ENC_COALESCE", "1")))
 
         if keep_residue or coalesce == 1:
             yield from self._encode_iter_device_entropy_per_image(
@@ -588,7 +595,12 @@ def roundtrip_iter(
         and not host_decode_mode()
         and not host_encode_mode()
     )
-    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    # the queue must absorb a full coalesced group's burst (the
+    # device-entropy encoder yields AKO_ENC_COALESCE blobs at once;
+    # a smaller bound blocks the producer mid-burst and stalls the
+    # next group's dispatch behind the decoder)
+    burst = max(1, int(os.environ.get("AKO_ENC_COALESCE", "1")))
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth, burst + 1))
     stop = threading.Event()
 
     def feed() -> Iterator[np.ndarray]:

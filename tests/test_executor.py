@@ -32,11 +32,13 @@ def test_pipeline_decoder_matches_decode(rng):
         np.testing.assert_array_equal(out, ref)
 
 
-def test_pipeline_encoder_coalesced_matches_encode(rng):
+def test_pipeline_encoder_coalesced_matches_encode(rng, monkeypatch):
     """The coalesced device-entropy path (one fused dispatch + one
-    totals/byte fetch per image GROUP) must frame byte-identical blobs,
-    including across geometry-signature flushes mid-stream, border
-    tiles, and the constant-alpha upload elision."""
+    totals/byte fetch per image GROUP, opt-in via AKO_ENC_COALESCE)
+    must frame byte-identical blobs, including across
+    geometry-signature flushes mid-stream, border tiles, and the
+    constant-alpha upload elision."""
+    monkeypatch.setenv("AKO_ENC_COALESCE", "4")
     images = (
         # group A: RGBA constant alpha, border tiles (two shape groups)
         [rng.integers(0, 256, size=(40, 32, 4), dtype=np.uint8) for _ in range(3)]
