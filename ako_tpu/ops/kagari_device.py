@@ -514,8 +514,12 @@ def pack_bits(vals, nbits, capacity_bytes: int):
 SYNC_FIRST = 0xFFFF
 
 #: outputs decoded per device block; each block starts from a host
-#: sync record (runtime.kagari.kagari_sync) and decodes independently
-DECODE_BLOCK = 128
+#: sync record (runtime.kagari.kagari_sync) and decodes independently.
+#: Smaller blocks = more lane parallelism but more sync records (host
+#: scan + upload); env-tunable for devbench sweeps (baked at import,
+#: like AKO_PACK_CHUNK — bit-exactness is block-size-independent, the
+#: records are just restart points)
+DECODE_BLOCK = int(os.environ.get("AKO_DECODE_BLOCK", "128"))
 
 #: word-buffer slack callers must pad beyond the compressed bytes so
 #: the window init and per-step refills never read past the buffer
