@@ -973,6 +973,16 @@ def decode(
 
     if device_entropy is None:
         device_entropy = jax.default_backend() != "cpu"
+    from ako_tpu.encode import tile_events_mode
+
+    if (
+        device_entropy
+        and s.compression == Compression.KAGARI
+        and tile_events_mode(events)
+    ):
+        return _decode_tile_events(
+            view, cursor, image_w, image_h, channels, s, events, events_user
+        )
     if device_entropy and s.compression in (
         Compression.KAGARI,
         Compression.MANBAVARAN,
@@ -980,8 +990,10 @@ def decode(
         grid = geometry.tile_grid(image_w, image_h, s.tiles_dimension)
         total = len(grid)
         # fused-path event granularity: per SHAPE GROUP (PARITY.md
-        # divergence 10): COMPRESSION covers the host sync scan +
-        # upload + dispatch (fired inside dispatch_tiles_device_entropy),
+        # divergence 10; AKO_TPU_EVENTS=tile above restores the
+        # reference's per-tile pairs at tracing-mode cost):
+        # COMPRESSION covers the host sync scan + upload + dispatch
+        # (fired inside dispatch_tiles_device_entropy),
         # WAVELET the device wait, FORMAT the pixel drain
         from ako_tpu.runtime.transfer import _get_pool
 
@@ -1028,6 +1040,61 @@ def decode(
         place_pixels(image, tiles, th, tw, out)
         _fire(events, t0, total, Event.FORMAT_END, events_user)
 
+    return image, s, channels
+
+
+def _decode_tile_events(
+    view, cursor: int, image_w: int, image_h: int, channels: int, s: Settings,
+    events, events_user,
+):
+    """Tracing-exact fused decode (AKO_TPU_EVENTS=tile + an events
+    callback): one device dispatch per tile with the reference's
+    per-tile event pairs (ako.h:75-84) — COMPRESSION = sync scan +
+    word upload + device entropy decode (quirk streams decode on the
+    host exactly, like the batched path), WAVELET = the unlift+color
+    program, FORMAT = the pixel drain + placement. Pixels bit-identical
+    to every other path; a tracing mode, tile dispatches serialize."""
+    from ako_tpu.ops.kagari_device import DECODE_BLOCK, decode_span_words
+    from ako_tpu.runtime.kagari import kagari_sync
+    from ako_tpu.runtime.transfer import device_put_parallel
+    from ako_tpu.utils import metrics
+
+    grid = geometry.tile_grid(image_w, image_h, s.tiles_dimension)
+    total = len(grid)
+    image = np.empty((image_h, image_w, channels), dtype=np.uint8)
+    for t in grid:
+        payload, cursor = _read_tile_block(view, cursor, t, s, channels)
+        tds, spacing = tile_block_sizes(t, s, channels)
+        count = tds // 2
+        _fire(events, t.index, total, Event.COMPRESSION_START, events_user)
+        sync = kagari_sync(count, payload, tds + spacing, DECODE_BLOCK)
+        if sync is None or sync[4] != len(payload):
+            raise AkoError(Status.BROKEN_INPUT)
+        if sync[5] > 31:  # oversized-code quirk: exact host decode
+            metrics.bump(metrics.DEC_HOST_FALLBACK)
+            streams = _entropy_one(payload, t, s, channels)[None]
+            streams_dev = jnp.asarray(streams)
+        else:
+            metrics.bump(metrics.DEC_DEVICE)
+            span = _bucket_span(decode_span_words(sync[0], len(payload) * 8))
+            buf, pool_words, tcount, bcount = _pack_entropy_upload(
+                [(t, payload, sync)]
+            )
+            efn = _entropy_decode_fn(
+                count, DECODE_BLOCK, pool_words, min(span, pool_words),
+                tcount, bcount,
+            )
+            streams_dev = efn(device_put_parallel(buf))
+        np.asarray(streams_dev[:1, :1])  # bound the entropy stage
+        _fire(events, t.index, total, Event.COMPRESSION_END, events_user)
+        _fire(events, t.index, total, Event.WAVELET_START, events_user)
+        dfn = _tile_decoder(t.w, t.h, channels, s.wavelet, s.wrap, s.color)
+        out = dfn(streams_dev)
+        pixels_ready(out)
+        _fire(events, t.index, total, Event.WAVELET_END, events_user)
+        _fire(events, t.index, total, Event.FORMAT_START, events_user)
+        place_pixels(image, [t], t.h, t.w, out)
+        _fire(events, t.index, total, Event.FORMAT_END, events_user)
     return image, s, channels
 
 

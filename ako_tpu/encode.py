@@ -671,6 +671,74 @@ def collect_images_blobs(metas, recs) -> list[bytes]:
     ]
 
 
+def encode_tiles_blocks_tile_events(
+    image: np.ndarray, s: Settings, events, events_user
+) -> list:
+    """Tracing-exact fused encode (AKO_TPU_EVENTS=tile + an events
+    callback): ONE device dispatch per tile, with the reference's
+    per-tile event pairs (ako.h:75-84) bounding each stage — FORMAT =
+    staging + upload, WAVELET = the fused format+lift program (forced
+    complete by a tiny fetch), COMPRESSION = the device pack + byte
+    drain + framing. Restores the contract the batched fused path
+    trades away (PARITY.md divergence 10) at a tracing-mode cost: tile
+    dispatches serialize, and each stage boundary pays a link RPC.
+    Blobs stay byte-identical to every other path."""
+    image_h, image_w, channels = image.shape
+    grid = geometry.tile_grid(image_w, image_h, s.tiles_dimension)
+    total = len(grid)
+    from ako_tpu.utils import metrics
+
+    out = []
+    for t in grid:
+        fwd, pack, capacity, budget = _tile_encoder_fused(
+            t.w,
+            t.h,
+            channels,
+            s.wavelet,
+            s.wrap,
+            s.color,
+            bool(s.discard_non_visible),
+            s.quantization,
+            s.gate,
+            s.chroma_loss,
+            None,
+        )
+        _fire(events, t.index, total, Event.FORMAT_START, events_user)
+        batch = np.ascontiguousarray(
+            image[t.y : t.y + t.h, t.x : t.x + t.w, :]
+        )[None]
+        tiles_dev = jnp.asarray(batch)
+        np.asarray(tiles_dev[:1, :1, :1, :1])  # settle the upload
+        _fire(events, t.index, total, Event.FORMAT_END, events_user)
+        _fire(events, t.index, total, Event.WAVELET_START, events_user)
+        stream_dev = fwd(tiles_dev)
+        np.asarray(stream_dev[:1, :1])  # bound the lift stage
+        _fire(events, t.index, total, Event.WAVELET_END, events_user)
+        _fire(events, t.index, total, Event.COMPRESSION_START, events_user)
+        comp, totals_dev = pack(stream_dev)
+        n = int(np.asarray(totals_dev)[0])
+        if n > budget or n >= capacity - _CAPACITY_MARGIN:
+            metrics.bump(metrics.ENC_HOST_FALLBACK)
+            block = compress_block(
+                np.asarray(stream_dev)[0], capacity + BLOCK_HEAD.size
+            )
+            if block is None:
+                raise AkoError(Status.ERROR, "incompressible tile")
+        else:
+            metrics.bump(metrics.ENC_DEVICE)
+            block = BLOCK_HEAD.pack(n) + np.asarray(comp[0, :n]).tobytes()
+        out.append(block)
+        _fire(events, t.index, total, Event.COMPRESSION_END, events_user)
+    return out
+
+
+def tile_events_mode(events) -> bool:
+    """True when the caller asked for reference-granularity per-tile
+    events on the fused device paths (AKO_TPU_EVENTS=tile and an
+    events callback present)."""
+    return events is not None and os.environ.get("AKO_TPU_EVENTS") == "tile"
+
+
 def image_fill_val(image: np.ndarray) -> Optional[int]:
     """Constant trailing channel detection (the alpha=255 norm): when
     every sample of the last channel is equal, the fused encoders
@@ -904,7 +972,12 @@ def encode(
     if device_entropy and eff == Compression.KAGARI:
         # covers KAGARI and reserved-flag MANBAVARAN without the
         # extension (the reference's method-ignoring parity bytes)
-        tile_blocks = encode_tiles_blocks(image, s, events, events_user)
+        if tile_events_mode(events):
+            tile_blocks = encode_tiles_blocks_tile_events(
+                image, s, events, events_user
+            )
+        else:
+            tile_blocks = encode_tiles_blocks(image, s, events, events_user)
         return head + b"".join(tile_blocks)
 
     streams = encode_tiles_device(image, s, events, events_user)

@@ -77,6 +77,47 @@ class TestFusedEventGranularity:
         comp_starts = [t for t, e in seen if e == Event.COMPRESSION_START]
         assert sorted(comp_starts) == [0, 0, 1, 2, 3]
 
+    def _tile_pairs(self, seen, n_tiles):
+        _starts_balanced(seen)
+        assert {t for t, _ in seen} == set(range(n_tiles))
+        for t in range(n_tiles):
+            kinds = [e for ti, e in seen if ti == t]
+            assert kinds.count(Event.FORMAT_START) == 1
+            assert kinds.count(Event.WAVELET_START) == 1
+            assert kinds.count(Event.COMPRESSION_START) == 1
+
+    def test_encode_tile_events_mode(self, rng, monkeypatch):
+        """AKO_TPU_EVENTS=tile restores the reference's per-tile event
+        pairs on the fused device path (one dispatch per tile), with
+        the blob byte-identical to the batched path."""
+        monkeypatch.setenv("AKO_TPU_EVENTS", "tile")
+        img = _img(rng, 90, 70)
+        s = Settings(quantization=16, tiles_dimension=64)
+        seen = []
+        blob = ako_tpu.encode(
+            img, s, events=lambda t, n, e, u: seen.append((t, e)),
+            device_entropy=True,
+        )
+        monkeypatch.delenv("AKO_TPU_EVENTS")
+        assert blob == ako_tpu.encode(img, s, device_entropy=True)
+        self._tile_pairs(seen, 4)
+
+    def test_decode_tile_events_mode(self, rng, monkeypatch):
+        img = _img(rng, 90, 70)
+        s = Settings(quantization=16, tiles_dimension=64)
+        blob = ako_tpu.encode(img, s, device_entropy=True)
+        monkeypatch.setenv("AKO_TPU_EVENTS", "tile")
+        seen = []
+        pix, _, _ = ako_tpu.decode(
+            blob, events=lambda t, n, e, u: seen.append((t, e)),
+            device_entropy=True,
+        )
+        monkeypatch.delenv("AKO_TPU_EVENTS")
+        np.testing.assert_array_equal(
+            pix, ako_tpu.decode(blob, device_entropy=True)[0]
+        )
+        self._tile_pairs(seen, 4)
+
     def test_total_tiles_reported(self, rng):
         img = _img(rng, 90, 70)
         s = Settings(quantization=16, tiles_dimension=64)
