@@ -20,7 +20,7 @@ REPO = os.path.dirname(HERE)
 SRC = os.path.join(REPO, "ako_tpu", "runtime", "native", "akort.c")
 DRIVER = os.path.join(HERE, "asan_fuzz.c")
 BIN = os.path.join(HERE, ".asan_fuzz")
-OUT = os.path.join(HERE, "ASAN_r04.json")
+OUT = os.path.join(HERE, os.environ.get("AKO_ASAN_OUT", "ASAN_r05.json"))
 
 
 def main() -> int:
