@@ -69,9 +69,10 @@ class _Plan(NamedTuple):
     pad_pairs: int  # (even, odd) pad pairs appended after the valid 2T rows
 
 
-def _shard_plan(
-    lvl: LiftLevel, n: int, wrap: Wrap, weff: Wavelet
-) -> Optional[_Plan]:
+def _shard_plan(lvl: LiftLevel, n: int) -> Optional[_Plan]:
+    """Wrap- and wavelet-independent since r5: every ragged level
+    shards (CLAMP/ZERO via crafted pads, MIRROR/REPEAT via pad+fix,
+    Haar trivially); only the minimum-local-evens bound replicates."""
     T = lvl.target_h
     m = -(-T // n)
     if m < _MIN_LOCAL_EVENS:
@@ -101,7 +102,7 @@ def plan_levels(
     sharded = True
     for lvl in schedule.levels:
         weff = effective_wavelet(wavelet, lvl.target_w, lvl.target_h)
-        sharded = sharded and _shard_plan(lvl, n_shards, wrap, weff) is not None
+        sharded = sharded and _shard_plan(lvl, n_shards) is not None
         out.append(sharded)
     return out
 
@@ -369,7 +370,7 @@ def forward_tile_sharded(
 
     for lvl, (qs, gs) in zip(schedule.levels, qg):
         weff = effective_wavelet(wavelet, lvl.target_w, lvl.target_h)
-        plan = _shard_plan(lvl, n, wrap, weff) if sharded else None
+        plan = _shard_plan(lvl, n) if sharded else None
         if plan is not None:
             T = lvl.target_h
             x = cur
@@ -468,7 +469,7 @@ def inverse_tile_sharded(
         d = dequant[..., 2, :, :]
 
         weff = effective_wavelet(wavelet, hw, hh)
-        plan = _shard_plan(lvl, n, wrap, weff)
+        plan = _shard_plan(lvl, n)
         if plan is not None and _needs_fix(plan.pad_pairs, wrap, weff):
             # MIRROR/REPEAT ragged level: sharded V unlift over zero
             # pads, global boundary fix, then the row-local H merge
