@@ -70,6 +70,27 @@ def test_pipeline_encoder_coalesce_partial_group(rng, monkeypatch):
         assert blob == ako_tpu.encode(img, s, device_entropy=True)
 
 
+def test_roundtrip_iter_coalesced_hostdec(rng, monkeypatch):
+    """The overlapped round-trip stream over the coalesced encoder and
+    the host-native decoder (the bench's device-config shape): blobs
+    and pixels must match the one-shot paths, in order, including the
+    burst-absorbing queue."""
+    from ako_tpu.runtime.executor import roundtrip_iter
+
+    monkeypatch.setenv("AKO_ENC_COALESCE", "4")
+    monkeypatch.setenv("AKO_TPU_DECODE", "host")
+    images = [
+        rng.integers(0, 256, size=(40, 32, 3), dtype=np.uint8) for _ in range(6)
+    ]
+    s = Settings(quantization=16, tiles_dimension=16)
+    pairs = list(roundtrip_iter(images, s, workers=3, device_entropy=True))
+    assert len(pairs) == 6
+    for img, (blob, pix) in zip(images, pairs):
+        assert blob == ako_tpu.encode(img, s, device_entropy=True)
+        ref, _, _ = ako_tpu.decode(blob)
+        np.testing.assert_array_equal(pix, ref)
+
+
 def test_pipeline_uncompressed(rng):
     from ako_tpu.core.settings import Compression
 
