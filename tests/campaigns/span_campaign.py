@@ -94,7 +94,14 @@ def main() -> int:
                 )
                 fails += 1
             continue
-        if blob != ref_blob:
+        # divergence 9: 5x5 corner tiles with channels >= 2 make the
+        # reference encoder spill its aux buffer; refquirks models the
+        # corrupted reference blob bit-exactly from ours (same contract
+        # as diff_campaign — this campaign missed it until a fresh r5
+        # seed range drew a 197x21 ch2 t16 case)
+        from tests import refquirks
+
+        if refquirks.expected_ref_blob(img, checked_settings(s), blob) != ref_blob:
             print(f"FAIL seed {seed}: blob mismatch", flush=True)
             fails += 1
             continue
@@ -106,7 +113,9 @@ def main() -> int:
             continue
         if s.compression == Compression.KAGARI and seed % 5 == 0:
             ((rb, rp),) = list(roundtrip_iter([img], s, workers=4))
-            if rb != ref_blob or not np.array_equal(rp, ref_pix):
+            # compare against OUR validated blob (ref_blob may carry
+            # the modeled divergence-9 corruption)
+            if rb != blob or not np.array_equal(rp, ref_pix):
                 print(f"FAIL seed {seed}: roundtrip_iter mismatch", flush=True)
                 fails += 1
     print(
