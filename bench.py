@@ -636,6 +636,10 @@ def main() -> int:
     )
     from ako_tpu.utils import metrics
 
+    def _rel_iqr(ts):
+        s = sorted(ts)
+        return (s[(3 * len(s)) // 4] - s[len(s) // 4]) / s[len(s) // 2]
+
     metrics.reset()  # count fallbacks over the timed passes only
     times_ours = []
     for i in range(RUNS):
@@ -643,7 +647,13 @@ def main() -> int:
         # a clean timed pass
         t, blobs_ours, outs_ours = _run_candidate(ours_fn, env, images, settings)
         times_ours.append(t)
-    t_ours = sorted(times_ours)[RUNS // 2]
+    # adaptive extension: the VM scheduler's multi-second stalls can
+    # inflate several of the 7 runs in a bad window; when the relative
+    # IQR is wide, buy up to 6 more samples before taking the median
+    while _rel_iqr(times_ours) > 0.25 and len(times_ours) < RUNS + 6:
+        t, blobs_ours, outs_ours = _run_candidate(ours_fn, env, images, settings)
+        times_ours.append(t)
+    t_ours = sorted(times_ours)[len(times_ours) // 2]
     mps = STREAM_N * MEGAPIXELS / t_ours
     fallbacks = metrics.fallback_summary()
 
@@ -653,7 +663,10 @@ def main() -> int:
     for i in range(RUNS):
         t, blobs_ref, outs_ref = bench_ref(images, settings, warm=(i == 0))
         times_ref.append(t)
-    t_ref = sorted(times_ref)[RUNS // 2]
+    while _rel_iqr(times_ref) > 0.25 and len(times_ref) < RUNS + 6:
+        t, blobs_ref, outs_ref = bench_ref(images, settings, warm=False)
+        times_ref.append(t)
+    t_ref = sorted(times_ref)[len(times_ref) // 2]
 
     # --- single-chip device-compute stages (VERDICT r4 next-1a): the
     # judge-facing MFU analog, captured every run the tunnel is up
@@ -709,7 +722,7 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "metric": "pipelined encode+decode MP/s (1024x1280 RGBA q16, bit-exact, median of %d)" % RUNS,
+                "metric": "pipelined encode+decode MP/s (1024x1280 RGBA q16, bit-exact, median of %d)" % len(times_ours),
                 "value": round(mps, 3),
                 "unit": "MP/s",
                 "vs_baseline": round(vs_baseline, 3),
