@@ -252,7 +252,12 @@ class PipelineEncoder:
         (the round-2 shape) left the ~40 ms-latency totals/byte fetch
         chain on the steady-state critical path: measured 176 ms/img at
         depth 1 vs ~130 at depth 3 on a 46 MB/s link
-        (devbench/hostdec_profile.py).
+        (devbench/hostdec_profile.py). Default depth 5 since r5:
+        interleaved medians on the winning device config read 1.50 s
+        vs depth 3's 1.74 over the 12-image stream (2026-08-20, ~43
+        MB/s link), and depth 7 is within noise of 5 with a worse
+        tail — 5 in-flight collects absorb the RPC-latency jitter a
+        3-deep pipeline still exposed.
 
         Same-geometry images can additionally COALESCE into groups of
         AKO_ENC_COALESCE: one pixel upload, one fused program pair, one
@@ -271,7 +276,7 @@ class PipelineEncoder:
         import os
 
         s = self.settings
-        depth = max(1, int(os.environ.get("AKO_ENC_INFLIGHT", "3")))
+        depth = max(1, int(os.environ.get("AKO_ENC_INFLIGHT", "5")))
         coalesce = max(1, int(os.environ.get("AKO_ENC_COALESCE", "1")))
 
         if keep_residue or coalesce == 1:
