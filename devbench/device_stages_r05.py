@@ -25,11 +25,12 @@ def main() -> int:
     rng = np.random.default_rng(42)
     img = synth_images(rng, 1)[0]
     settings = ako_tpu.Settings(quantization=16, tiles_dimension=TILES)
-    rec = measure_device_compute(img, settings, reps=7)
+    rec = measure_device_compute(img, settings, reps=15)
     record = {
         "metric": (
             "single-chip device program stages, ms per 1024x1280 image "
-            "(both directions, fetch floor subtracted, median of 7)"
+            "(both directions, fetch floor subtracted, min of 15 — "
+            "tunnel RPC noise is one-sided)"
         ),
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "corpus": os.environ.get("AKO_BENCH_CORPUS", "fbm"),
