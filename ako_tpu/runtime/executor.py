@@ -246,7 +246,7 @@ class PipelineEncoder:
         self, images: Iterable[np.ndarray], keep_residue: bool = False
     ) -> Iterator[bytes]:
         """Fused device path: compressed-byte fetches for up to
-        AKO_ENC_INFLIGHT (default 3) images run on IO threads while the
+        AKO_ENC_INFLIGHT (default 5) images run on IO threads while the
         main thread uploads and dispatches the next — uplink, downlink,
         TPU compute and the collect RPC latencies all overlap. Depth 1
         (the round-2 shape) left the ~40 ms-latency totals/byte fetch
