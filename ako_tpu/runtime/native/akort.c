@@ -371,6 +371,9 @@ API size_t akort_kagari_encode(const void *input, size_t input_size, void *outpu
 			const size_t chunk = L < cap ? L : cap;
 			L -= chunk;
 			if (lits == RLE_TRIGGER) {
+				/* both arms emit chunk+1 (cap+1 == VALUE_MAX-1-RLE_TRIGGER+1);
+				 * the branch is kept only to mirror the exact encoder's
+				 * comment trail for the two flush reasons */
 				if (chunk == cap) {
 					/* forced flush at counter 65534 */
 					if (sink_put(&sink,
